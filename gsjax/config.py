@@ -1,0 +1,98 @@
+"""Configuration dataclasses.
+
+Mirrors the reference flag groups and their defaults exactly — these defaults
+ARE the published 3DGS recipe (reference: arguments/__init__.py:47-90).
+Unlike the reference's reflection-over-argparse scheme, these are plain
+dataclasses; CLI wiring lives in gsjax/cli/args.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Scene/model loading options (reference: arguments/__init__.py:47-62)."""
+
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = False
+    data_device: str = "tpu"  # reference default is "cuda"; kept for CLI parity
+    eval: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Render-pipeline toggles (reference: arguments/__init__.py:64-69).
+
+    convert_SHs_python / compute_cov3D_python select the slow reference-math
+    paths; in gsjax these run the same jnp formulas outside the fused kernel
+    and act as an A/B oracle for the in-kernel math, matching the reference's
+    use of these flags (reference: gaussian_renderer/__init__.py:57-82).
+    """
+
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
+    debug: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizationConfig:
+    """Training hyperparameters (reference: arguments/__init__.py:71-89)."""
+
+    iterations: int = 30_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    random_background: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """TPU rasterizer compile-time configuration (gsjax-specific; no
+    reference analog — the CUDA rasterizer hard-codes BLOCK_X/Y=16 and sizes
+    buffers dynamically, which XLA's static shapes disallow).
+
+    Attributes:
+      tile_size: pixel tile edge; tiles are tile_size x tile_size (16 matches
+        the reference kernel's grid granularity).
+      chunk: instances processed per inner step of the composite kernel AND
+        the alignment unit of per-tile instance ranges; 128 = one TPU lane
+        register row of f32.
+      max_instances: static budget for (gaussian, tile) pairs before padding.
+        Pairs past the budget are dropped (overflow is reported).
+      interpret: run Pallas kernels in interpreter mode (CPU tests/debug).
+    """
+
+    tile_size: int = 16
+    chunk: int = 128
+    max_instances: int = 2 ** 21
+    interpret: bool = False
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_size * self.tile_size
+
+
+def padded_image_shape(height: int, width: int, tile: int) -> tuple[int, int]:
+    """Image shape rounded up to a whole number of tiles."""
+    pad_h = (height + tile - 1) // tile * tile
+    pad_w = (width + tile - 1) // tile * tile
+    return pad_h, pad_w

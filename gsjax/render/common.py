@@ -1,0 +1,327 @@
+"""Shared compositing math for the tiled rasterizer.
+
+One canonical implementation of the per-chunk front-to-back alpha
+compositing used by BOTH the pure-JAX fallback compositor (CPU tests,
+autodiff oracle) and the Pallas TPU kernels — so the two paths are
+numerically identical by construction.
+
+Semantics mirror the CUDA renderCUDA loop (see gsjax/render/oracle.py for
+the constants' provenance). Design notes:
+
+* Compute layout: (PIX, K) — pixels on the sublane axis (tile_size^2 = 256),
+  instances on the lane axis (chunk = 128). Instance fields arrive as (1, K)
+  row slices of a (ROWS, K) block.
+* The sequential front-to-back dependence within a chunk is vectorized with
+  cumulative products in log space; `log(1 - alpha)` is safe because alpha
+  is capped at 0.99. Cumulative sums are expressed as triangular matmuls —
+  guaranteed lowerable in Pallas/Mosaic and MXU-fast.
+* Early-termination (`done`) masks are carried explicitly per pixel: a
+  contribution that would push T below 1e-4 is skipped and the pixel never
+  resumes, exactly like the CUDA persistent `done` flag.
+* The 0.99 alpha cap uses a straight-through gradient (CUDA convention).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+# Instance-stream row indices (the HBM layout is [ROWS, P_PAD]).
+ROW_MX = 0  # mean x, continuous pixels
+ROW_MY = 1  # mean y
+ROW_CA = 2  # conic a (xx)
+ROW_CB = 3  # conic b (xy)
+ROW_CC = 4  # conic c (yy)
+ROW_R = 5  # color r
+ROW_G = 6  # color g
+ROW_B = 7  # color b
+ROW_OP = 8  # opacity (activated)
+N_FIELDS = 9
+ROWS = 16  # padded to a multiple of 8 sublanes
+
+ALPHA_CAP = 0.99
+ALPHA_SKIP = 1.0 / 255.0
+T_EPS = 1e-4
+
+
+def _tri_cumsum(x: jnp.ndarray, exclusive: bool, exact_input: bool = False) -> jnp.ndarray:
+    """Cumulative sum along the LAST (lane) axis via a triangular matmul.
+
+    x: (PIX, K). Returns (PIX, K). Uses the MXU. TPU matmuls truncate f32
+    inputs to bf16 by default, so general inputs are split into bf16 hi+lo
+    halves (the 0/1 triangular mask is exact in bf16, and the MXU
+    accumulates in f32) — two full-speed matmuls recover ~f32 accuracy.
+    Pass exact_input=True for inputs already exactly representable in bf16
+    (e.g. 0/1 flags) to use a single matmul.
+    """
+    k = x.shape[-1]
+    rows = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    # Select in f32 first: Mosaic cannot relayout an i1 mask straight into
+    # the bf16 (16,128) tiling.
+    tri = jnp.where(rows < cols if exclusive else rows <= cols, 1.0, 0.0).astype(
+        jnp.bfloat16
+    )
+    hi = x.astype(jnp.bfloat16)
+    out = jnp.dot(hi, tri, preferred_element_type=jnp.float32)
+    if not exact_input:
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + jnp.dot(lo, tri, preferred_element_type=jnp.float32)
+    return out
+
+
+def chunk_alpha(
+    inst: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per (pixel, instance) alpha for one chunk.
+
+    Args:
+      inst: (ROWS, K) instance fields.
+      px, py: (PIX, 1) pixel coordinates.
+
+    Returns:
+      alpha: (PIX, K) capped, skip-masked alpha (straight-through cap grad).
+      G: (PIX, K) the Gaussian falloff exp(power) (for opacity gradients).
+      keep: (PIX, K) f32 0/1 skip mask (stop-gradient).
+    """
+    mx = inst[ROW_MX : ROW_MX + 1, :]  # (1, K)
+    my = inst[ROW_MY : ROW_MY + 1, :]
+    ca = inst[ROW_CA : ROW_CA + 1, :]
+    cb = inst[ROW_CB : ROW_CB + 1, :]
+    cc = inst[ROW_CC : ROW_CC + 1, :]
+    op = inst[ROW_OP : ROW_OP + 1, :]
+    dx = mx - px  # (PIX, K)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(jnp.minimum(power, 0.0))
+    raw = op * G
+    capped = raw + lax.stop_gradient(jnp.minimum(ALPHA_CAP, raw) - raw)
+    keep = lax.stop_gradient(
+        jnp.where((capped >= ALPHA_SKIP) & (power <= 0.0), 1.0, 0.0)
+    )
+    return capped * keep, G, keep
+
+
+def chunk_forward(
+    inst: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    t_in: jnp.ndarray,
+    done_in: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Composite one chunk of depth-ordered instances into a tile.
+
+    Args:
+      inst: (ROWS, K) instance fields.
+      px, py: (PIX, 1) pixel coordinates.
+      t_in: (PIX, 1) transmittance entering the chunk.
+      done_in: (PIX, 1) f32 0/1 — pixel already terminated.
+
+    Returns:
+      t_out: (PIX, 1), done_out: (PIX, 1), contrib: (PIX, 3) premultiplied
+      color added by this chunk (background NOT composited here).
+    """
+    alpha, _, _ = chunk_alpha(inst, px, py)
+    lg = jnp.log1p(-alpha)  # <= 0; alpha <= 0.99 keeps this finite
+    cum_excl = _tri_cumsum(lg, exclusive=True)
+    t_before = t_in * jnp.exp(cum_excl)  # (PIX, K) unmasked T before k
+    # Termination test: the contribution that would push T below eps is
+    # itself skipped, and the pixel stays done forever.
+    test = lax.stop_gradient(
+        jnp.where((t_before * (1.0 - alpha) < T_EPS) & (alpha > 0.0), 1.0, 0.0)
+    )
+    skip = lax.stop_gradient(
+        jnp.minimum(done_in + _tri_cumsum(test, exclusive=False, exact_input=True), 1.0)
+    )
+    live = 1.0 - skip  # (PIX, K)
+    w = alpha * t_before * live  # contribution weights
+    contrib = jnp.concatenate(
+        [
+            jnp.sum(w * inst[ch : ch + 1, :], axis=-1, keepdims=True)
+            for ch in (ROW_R, ROW_G, ROW_B)
+        ],
+        axis=-1,
+    )  # (PIX, 3) — lane reductions on the VPU keep this exact in f32
+    t_out = t_in * jnp.exp(jnp.sum(lg * live, axis=-1, keepdims=True))
+    done_out = lax.stop_gradient(jnp.maximum(done_in, jnp.max(test, axis=-1, keepdims=True)))
+    return t_out, done_out, contrib
+
+
+def chunk_backward(
+    inst: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    t_in: jnp.ndarray,
+    done_in: jnp.ndarray,
+    prefix_in: jnp.ndarray,
+    c_total: jnp.ndarray,
+    t_final: jnp.ndarray,
+    d_color: jnp.ndarray,
+    d_tfinal: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-instance gradients for one chunk, via forward-order replay.
+
+    Closed-form over the suffix: for instance k with weight w_k = a_k T_k,
+      dL/dc_k   = w_k * dC
+      dL/da_k   = sum_ch dC_ch [ c_k,ch T_k - (C_total - P_k)_ch / (1-a_k) ]
+                  - dT_final * T_final / (1 - a_k)
+    where P_k is the running premultiplied prefix color through k. This is
+    the same algebra as the CUDA backward's accum_rec recurrence, evaluated
+    forward-order so no state needs saving.
+
+    Args:
+      inst: (ROWS, K); px/py: (PIX, 1); t_in/done_in: (PIX, 1) replayed state.
+      prefix_in: (PIX, 3) premultiplied color accumulated before this chunk.
+      c_total: (PIX, 3) full-tile forward output color.
+      t_final: (PIX, 1) full-tile final transmittance.
+      d_color: (PIX, 3) cotangent of the tile color.
+      d_tfinal: (PIX, 1) cotangent of the tile transmittance.
+
+    Returns:
+      (t_out, done_out, prefix_out) replay state, and grads (ROWS, K) with
+      rows [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop].
+    """
+    alpha, G, keep = chunk_alpha(inst, px, py)
+    lg = jnp.log1p(-alpha)
+    cum_excl = _tri_cumsum(lg, exclusive=True)
+    t_before = t_in * jnp.exp(cum_excl)
+    test = jnp.where((t_before * (1.0 - alpha) < T_EPS) & (alpha > 0.0), 1.0, 0.0)
+    skip = jnp.minimum(
+        done_in + _tri_cumsum(test, exclusive=False, exact_input=True), 1.0
+    )
+    live = 1.0 - skip
+    w = alpha * t_before * live  # (PIX, K)
+
+    # dL/dc_k[ch] = sum_px w * dC_ch  -> (3, K); sublane reductions, exact f32.
+    d_colors = jnp.concatenate(
+        [jnp.sum(w * d_color[:, ch : ch + 1], axis=0, keepdims=True) for ch in range(3)],
+        axis=0,
+    )  # (3, K)
+
+    # Running prefix premultiplied color through k: (PIX, K) per channel.
+    # suffix_k = C_total - P_k  (color composited behind instance k).
+    d_alpha = jnp.zeros_like(w)
+    one_minus = 1.0 - alpha
+    chunk_sums = []
+    for ch, row in enumerate((ROW_R, ROW_G, ROW_B)):
+        c_ch = inst[row : row + 1, :]  # (1, K)
+        wc = w * c_ch
+        cum_wc = _tri_cumsum(wc, exclusive=False)
+        p_k = prefix_in[:, ch : ch + 1] + cum_wc
+        suffix = c_total[:, ch : ch + 1] - p_k
+        d_alpha = d_alpha + d_color[:, ch : ch + 1] * (
+            c_ch * t_before - suffix / one_minus
+        )
+        chunk_sums.append(jnp.sum(wc, axis=-1, keepdims=True))
+    prefix_out = prefix_in + jnp.concatenate(chunk_sums, axis=-1)
+    d_alpha = d_alpha - d_tfinal * t_final / one_minus
+    d_alpha = d_alpha * live  # skipped instances get no gradient
+
+    # Chain through alpha = op * exp(power) (straight-through past the cap).
+    op = inst[ROW_OP : ROW_OP + 1, :]
+    d_op = jnp.sum(G * d_alpha * keep, axis=0, keepdims=True)  # (1, K)
+    d_G = op * d_alpha * keep
+    d_power = G * d_G  # (PIX, K)
+
+    mx = inst[ROW_MX : ROW_MX + 1, :]
+    my = inst[ROW_MY : ROW_MY + 1, :]
+    ca = inst[ROW_CA : ROW_CA + 1, :]
+    cb = inst[ROW_CB : ROW_CB + 1, :]
+    cc = inst[ROW_CC : ROW_CC + 1, :]
+    dx = mx - px
+    dy = my - py
+    d_dx = d_power * (-(ca * dx + cb * dy))
+    d_dy = d_power * (-(cc * dy + cb * dx))
+    d_mx = jnp.sum(d_dx, axis=0, keepdims=True)
+    d_my = jnp.sum(d_dy, axis=0, keepdims=True)
+    d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+    d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+    d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+
+    k = inst.shape[-1]
+    grads = jnp.concatenate(
+        [
+            d_mx,
+            d_my,
+            d_ca,
+            d_cb,
+            d_cc,
+            d_colors,
+            d_op,
+            jnp.zeros((ROWS - N_FIELDS, k), jnp.float32),
+        ],
+        axis=0,
+    )  # (ROWS, K)
+
+    # Replay state for the next chunk.
+    t_out = t_in * jnp.exp(jnp.sum(lg * live, axis=-1, keepdims=True))
+    done_out = jnp.maximum(done_in, jnp.max(test, axis=-1, keepdims=True))
+    return (t_out, done_out, prefix_out), grads
+
+
+def tile_pixel_coords(
+    tile_id: jnp.ndarray, tiles_x: int, tile_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Continuous pixel coordinates for a tile's pixels, shape (PIX, 1).
+
+    Pixel order within a tile is row-major: idx = row * tile_size + col.
+    """
+    pix = tile_size * tile_size
+    tx = tile_id % tiles_x
+    ty = tile_id // tiles_x
+    idx = lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    px = (tx * tile_size + idx % tile_size).astype(jnp.float32)
+    py = (ty * tile_size + idx // tile_size).astype(jnp.float32)
+    return px, py
+
+
+def build_inst_data(
+    mean_pix: jnp.ndarray,
+    conic: jnp.ndarray,
+    rgb: jnp.ndarray,
+    opacity: jnp.ndarray,
+    padded_gid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gather per-Gaussian fields into the depth-sorted padded instance
+    stream. Returns (ROWS, P_PAD) f32; sentinel slots (gid == N) become a
+    zero row whose opacity 0 makes them no-ops.
+    """
+    n = mean_pix.shape[0]
+    fields = jnp.stack(
+        [
+            mean_pix[:, 0],
+            mean_pix[:, 1],
+            conic[:, 0],
+            conic[:, 1],
+            conic[:, 2],
+            rgb[:, 0],
+            rgb[:, 1],
+            rgb[:, 2],
+            opacity.reshape(-1),
+        ],
+        axis=0,
+    )  # (N_FIELDS, N)
+    fields = jnp.pad(fields, ((0, ROWS - N_FIELDS), (0, 1)))  # sentinel col
+    return jnp.take(fields, padded_gid, axis=1, fill_value=0.0)
+
+
+def untile_image(
+    tile_color: jnp.ndarray,
+    tile_t: jnp.ndarray,
+    height: int,
+    width: int,
+    tiles_x: int,
+    tiles_y: int,
+    tile_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[T, PIX, 3] tiles -> ([3, H, W] color, [H, W] transmittance), cropped
+    to the true image size."""
+    c = tile_color.reshape(tiles_y, tiles_x, tile_size, tile_size, 3)
+    c = c.transpose(4, 0, 2, 1, 3).reshape(
+        3, tiles_y * tile_size, tiles_x * tile_size
+    )[:, :height, :width]
+    t = tile_t.reshape(tiles_y, tiles_x, tile_size, tile_size)
+    t = t.transpose(0, 2, 1, 3).reshape(tiles_y * tile_size, tiles_x * tile_size)[
+        :height, :width
+    ]
+    return c, t

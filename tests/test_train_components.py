@@ -1,0 +1,253 @@
+"""Losses / schedule / optimizer / densification unit tests.
+
+SSIM and Adam are validated against torch (CPU) as an independent oracle —
+the reference trainer is torch, so matching torch semantics IS matching the
+reference (SURVEY.md section 4 item 2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsjax.config import OptimizationConfig
+from gsjax.model import GaussianAux
+from gsjax.train.densify import (
+    add_densification_stats,
+    densify_and_prune,
+    reset_opacity,
+)
+from gsjax.train.loss import l1_loss, ssim
+from gsjax.train.optimizer import adam_init, adam_update, make_lr_tree
+from gsjax.train.schedule import expon_lr
+
+from tests.scene_utils import random_scene
+
+
+class TestLosses:
+    def test_l1(self):
+        a = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+        b = jnp.array([[1.5, 2.0], [2.0, 4.0]])
+        assert float(l1_loss(a, b)) == pytest.approx(0.375)
+
+    def test_ssim_identical_images(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (3, 32, 32))
+        assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ssim_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        from math import exp
+
+        rng = np.random.default_rng(0)
+        a = rng.random((3, 32, 32)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+
+        # Reference SSIM (utils/loss_utils.py:23-63) re-expressed in torch.
+        def torch_ssim(img1, img2, window_size=11):
+            sigma = 1.5
+            g = torch.tensor(
+                [
+                    exp(-((x - window_size // 2) ** 2) / (2 * sigma**2))
+                    for x in range(window_size)
+                ]
+            )
+            g = (g / g.sum()).unsqueeze(1)
+            w2 = g.mm(g.t()).unsqueeze(0).unsqueeze(0)
+            window = w2.expand(3, 1, window_size, window_size).contiguous()
+            pad = window_size // 2
+            mu1 = F.conv2d(img1, window, padding=pad, groups=3)
+            mu2 = F.conv2d(img2, window, padding=pad, groups=3)
+            s1 = F.conv2d(img1 * img1, window, padding=pad, groups=3) - mu1**2
+            s2 = F.conv2d(img2 * img2, window, padding=pad, groups=3) - mu2**2
+            s12 = F.conv2d(img1 * img2, window, padding=pad, groups=3) - mu1 * mu2
+            C1, C2 = 0.01**2, 0.03**2
+            m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+                (mu1**2 + mu2**2 + C1) * (s1 + s2 + C2)
+            )
+            return m.mean().item()
+
+        expected = torch_ssim(torch.tensor(a)[None], torch.tensor(b)[None])
+        got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert got == pytest.approx(expected, abs=1e-4)
+
+
+class TestSchedule:
+    def test_endpoints(self):
+        # reference: utils/general_utils.py:29-62 (log-lerp)
+        assert float(expon_lr(0, 1e-2, 1e-4, max_steps=100)) == pytest.approx(
+            1e-2, rel=1e-4
+        )
+        assert float(expon_lr(100, 1e-2, 1e-4, max_steps=100)) == pytest.approx(
+            1e-4, rel=1e-5
+        )
+        # geometric midpoint
+        assert float(expon_lr(50, 1e-2, 1e-4, max_steps=100)) == pytest.approx(
+            1e-3, rel=1e-4
+        )
+
+    def test_negative_step_disabled(self):
+        assert float(expon_lr(-1, 1e-2, 1e-4)) == 0.0
+
+    def test_delay_warmup(self):
+        lr0 = float(expon_lr(0, 1e-2, 1e-4, lr_delay_steps=10, lr_delay_mult=0.1))
+        assert lr0 == pytest.approx(1e-3, rel=1e-4)
+
+
+class TestAdam:
+    def test_matches_torch_adam(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        p0 = rng.standard_normal((16, 3)).astype(np.float32)
+        steps = 5
+        grads = [rng.standard_normal((16, 3)).astype(np.float32) for _ in range(steps)]
+
+        pt = torch.nn.Parameter(torch.tensor(p0))
+        opt = torch.optim.Adam([pt], lr=0.01, eps=1e-15)
+        for g in grads:
+            pt.grad = torch.tensor(g)
+            opt.step()
+
+        params = {"w": jnp.asarray(p0)}
+        state = adam_init(params)
+        lr = {"w": jnp.float32(0.01)}
+        for g in grads:
+            params, state = adam_update({"w": jnp.asarray(g)}, state, params, lr)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), pt.detach().numpy(), atol=1e-6
+        )
+
+    def test_lr_tree_values(self):
+        cfg = OptimizationConfig()
+        lrs = make_lr_tree(cfg, spatial_lr_scale=2.0, step=jnp.int32(0))
+        assert float(lrs.xyz) == pytest.approx(0.00016 * 2.0)
+        assert float(lrs.features_dc) == pytest.approx(0.0025)
+        assert float(lrs.features_rest) == pytest.approx(0.0025 / 20)
+        assert float(lrs.opacity) == pytest.approx(0.05)
+        assert float(lrs.scaling) == pytest.approx(0.005)
+        assert float(lrs.rotation) == pytest.approx(0.001)
+
+
+class TestDensify:
+    def _setup(self, n=20, cap=64):
+        params, aux = random_scene(n, capacity=cap, seed=7)
+        opt = adam_init(params)
+        return params, aux, opt
+
+    def test_stats_accumulation(self):
+        _, aux, _ = self._setup()
+        radii = jnp.zeros(64, jnp.int32).at[:10].set(5)
+        grad = jnp.zeros((64, 2)).at[:10].set(jnp.array([3.0, 4.0]))
+        aux2 = add_densification_stats(aux, radii, grad)
+        np.testing.assert_allclose(np.asarray(aux2.xyz_grad_accum[:10]), 5.0)
+        np.testing.assert_allclose(np.asarray(aux2.denom[:10]), 1.0)
+        np.testing.assert_allclose(np.asarray(aux2.max_radii2d[:10]), 5.0)
+        np.testing.assert_allclose(np.asarray(aux2.denom[10:]), 0.0)
+
+    def test_clone_small_high_grad(self):
+        params, aux, opt = self._setup()
+        # Small scales; mark slot 0 and 3 as high-grad.
+        params = params.replace(scaling=jnp.full_like(params.scaling, -5.0))
+        aux = aux.replace(
+            xyz_grad_accum=jnp.zeros(64).at[0].set(1.0).at[3].set(1.0),
+            denom=jnp.ones(64),
+        )
+        p2, a2, o2, stats = densify_and_prune(
+            params, aux, opt, jax.random.PRNGKey(0),
+            grad_threshold=0.5, min_opacity=0.005, extent=10.0,
+            max_screen_size=0, percent_dense=0.01,
+        )
+        assert int(stats.n_cloned) == 2
+        assert int(stats.n_split) == 0
+        assert int(a2.n_alive()) == 22
+        # Clones duplicate the source parameters exactly.
+        new = np.asarray(p2.xyz[20:22])
+        src = np.sort(np.asarray(params.xyz[[0, 3]]), axis=0)
+        np.testing.assert_allclose(np.sort(new, axis=0), src, atol=1e-6)
+
+    def test_split_large_high_grad(self):
+        params, aux, opt = self._setup()
+        big = jnp.full_like(params.scaling, jnp.log(0.5))  # 0.5 > 0.01*10
+        params = params.replace(scaling=big)
+        aux = aux.replace(
+            xyz_grad_accum=jnp.zeros(64).at[1].set(1.0), denom=jnp.ones(64)
+        )
+        p2, a2, o2, stats = densify_and_prune(
+            params, aux, opt, jax.random.PRNGKey(0),
+            grad_threshold=0.5, min_opacity=0.005, extent=10.0,
+            max_screen_size=0, percent_dense=0.01,
+        )
+        assert int(stats.n_split) == 1
+        # 20 - 1 original + 2 children = 21
+        assert int(a2.n_alive()) == 21
+        # children scales = parent / 1.6
+        child_scales = np.exp(np.asarray(p2.scaling[19:21]))
+        np.testing.assert_allclose(child_scales, 0.5 / 1.6, rtol=1e-5)
+
+    def test_prune_low_opacity(self):
+        params, aux, opt = self._setup()
+        low = params.opacity.at[5:8].set(-10.0)  # sigmoid ~ 4.5e-5
+        params = params.replace(opacity=low)
+        p2, a2, o2, stats = densify_and_prune(
+            params, aux, opt, jax.random.PRNGKey(0),
+            grad_threshold=1e9, min_opacity=0.005, extent=10.0,
+            max_screen_size=0, percent_dense=0.01,
+        )
+        assert int(stats.n_pruned) == 3
+        assert int(a2.n_alive()) == 17
+
+    def test_prune_world_size(self):
+        params, aux, opt = self._setup()
+        big = params.scaling.at[2].set(jnp.log(5.0))  # 5 > 0.1*10
+        params = params.replace(scaling=big)
+        _, a2, _, stats = densify_and_prune(
+            params, aux, opt, jax.random.PRNGKey(0),
+            grad_threshold=1e9, min_opacity=0.005, extent=10.0,
+            max_screen_size=20, percent_dense=0.01,
+        )
+        assert int(stats.n_pruned) >= 1
+        assert int(a2.n_alive()) <= 19
+
+    def test_moments_move_with_kept_params(self):
+        params, aux, opt = self._setup()
+        mu = jax.tree.map(lambda x: jnp.ones_like(x), opt.mu)
+        opt = opt.replace(mu=mu)
+        # Split slot 0 (kept slots shift down by one).
+        params = params.replace(scaling=params.scaling.at[0].set(jnp.log(5.0)))
+        aux = aux.replace(
+            xyz_grad_accum=jnp.zeros(64).at[0].set(1.0), denom=jnp.ones(64)
+        )
+        _, a2, o2, stats = densify_and_prune(
+            params, aux, opt, jax.random.PRNGKey(0),
+            grad_threshold=0.5, min_opacity=0.005, extent=1000.0,
+            max_screen_size=0, percent_dense=0.0001,
+        )
+        assert int(stats.n_split) == 1
+        mu_xyz = np.asarray(o2.mu.xyz)
+        np.testing.assert_allclose(mu_xyz[:19], 1.0)  # kept rows carried
+        np.testing.assert_allclose(mu_xyz[19:], 0.0)  # new rows zeroed
+
+    def test_capacity_overflow_reported(self):
+        params, aux, opt = self._setup(n=60, cap=64)
+        aux = aux.replace(
+            xyz_grad_accum=jnp.where(jnp.arange(64) < 60, 1.0, 0.0),
+            denom=jnp.ones(64),
+        )
+        params = params.replace(scaling=jnp.full_like(params.scaling, -5.0))
+        _, a2, _, stats = densify_and_prune(
+            params, aux, opt, jax.random.PRNGKey(0),
+            grad_threshold=0.5, min_opacity=0.005, extent=10.0,
+            max_screen_size=0, percent_dense=0.01,
+        )
+        # 60 kept + 60 clones = 120 > 64: overflow reported, buffer full.
+        assert int(stats.n_dropped) == 56
+        assert int(a2.n_alive()) == 64
+
+    def test_reset_opacity(self):
+        params, aux, opt = self._setup()
+        opt = opt.replace(mu=jax.tree.map(jnp.ones_like, opt.mu))
+        p2, o2 = reset_opacity(params, opt)
+        op = np.asarray(jax.nn.sigmoid(p2.opacity))
+        assert op.max() <= 0.01 + 1e-6
+        np.testing.assert_allclose(np.asarray(o2.mu.opacity), 0.0)
+        np.testing.assert_allclose(np.asarray(o2.mu.xyz), 1.0)  # others kept
