@@ -1,0 +1,97 @@
+"""Headline benchmark: rasterizer forward+backward throughput at 1080p.
+
+Mirrors BASELINE.json config 2 — ~500k Gaussians, SH degree 3, full tile
+binning, L1 loss, gradient w.r.t. every Gaussian parameter — and reports
+pixels/s/chip over the fwd+bwd pass.
+
+Baseline: the reference CUDA diff-gaussian-rasterization sustains roughly
+15 fwd+bwd iterations/s at 1080p on an RTX/A6000-class GPU mid-training
+(derived from the ~25-30 min/30k-iteration wall-clocks the upstream repo's
+issue tracker and paper report for garden-scale scenes; the repo itself
+publishes no number — BASELINE.md). 15 it/s x 1920x1080 px = 31.1 M
+pixels/s fwd+bwd.
+
+Prints ONE JSON line:
+  {"metric": "pixels_per_s_fwd_bwd_1080p", "value": N, "unit": "pixel/s",
+   "vs_baseline": N / 31.1e6}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_PIXELS_PER_S = 31.1e6
+
+WIDTH, HEIGHT = 1920, 1080
+N_GAUSSIANS = 500_000
+SH_DEGREE = 3
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    from gsjax.config import RasterConfig
+    from gsjax.render.api import render
+    from gsjax.synthetic import look_at_origin_camera, random_scene
+    from gsjax.train.loss import l1_loss
+
+    on_tpu = jax.default_backend() == "tpu"
+    params, aux = random_scene(
+        N_GAUSSIANS,
+        capacity=N_GAUSSIANS,
+        sh_degree=SH_DEGREE,
+        seed=0,
+        spread=2.5,
+        scale_range=(0.004, 0.03),
+    )
+    camera = look_at_origin_camera(width=WIDTH, height=HEIGHT)
+    cfg = RasterConfig(max_instances=2**22, interpret=not on_tpu)
+    bg = jnp.zeros(3, jnp.float32)
+    gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
+    alive = aux.alive
+
+    def loss_fn(params, offset):
+        out = render(
+            params,
+            camera,
+            active_sh_degree=SH_DEGREE,
+            bg_color=bg,
+            cfg=cfg,
+            alive=alive,
+            mean2d_offset=offset,
+        )
+        return l1_loss(out.image, gt)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    offset = jnp.zeros((params.capacity, 2), jnp.float32)
+
+    for _ in range(WARMUP):
+        loss, grads = grad_fn(params, offset)
+    jax.block_until_ready((loss, grads))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        loss, grads = grad_fn(params, offset)
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+
+    steps_per_s = ITERS / dt
+    pixels_per_s = steps_per_s * WIDTH * HEIGHT
+    print(
+        json.dumps(
+            {
+                "metric": "pixels_per_s_fwd_bwd_1080p",
+                "value": round(pixels_per_s, 1),
+                "unit": "pixel/s",
+                "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

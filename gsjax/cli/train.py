@@ -1,0 +1,86 @@
+"""Training CLI (reference: train.py:193-221)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+
+from gsjax.cli.args import (
+    add_group,
+    extract,
+    make_train_parser,
+    save_cfg_args,
+)
+from gsjax.config import ModelConfig, OptimizationConfig, PipelineConfig
+from gsjax.scene import Scene
+from gsjax.train.trainer import Trainer
+from gsjax.utils.general import safe_state
+
+
+def prepare_output_and_logger(model_cfg: ModelConfig) -> tuple[ModelConfig, object]:
+    """(reference: train.py:134-154)"""
+    import dataclasses
+
+    if not model_cfg.model_path:
+        unique = os.getenv("OAR_JOB_ID") or str(uuid.uuid4())
+        model_cfg = dataclasses.replace(
+            model_cfg, model_path=os.path.join("./output/", unique[0:10])
+        )
+    print(f"Output folder: {model_cfg.model_path}")
+    os.makedirs(model_cfg.model_path, exist_ok=True)
+    save_cfg_args(model_cfg.model_path, model_cfg)
+
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(model_cfg.model_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+    return model_cfg, tb_writer
+
+
+def main(argv=None) -> None:
+    parser = make_train_parser()
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    model_cfg = extract(ModelConfig, args)
+    opt_cfg = extract(OptimizationConfig, args)
+    pipe_cfg = extract(PipelineConfig, args)
+
+    save_iterations = list(args.save_iterations) + [opt_cfg.iterations]
+    print(f"Optimizing {model_cfg.model_path}")
+    safe_state(args.quiet)
+
+    model_cfg, tb_writer = prepare_output_and_logger(model_cfg)
+
+    gui = None
+    try:
+        from gsjax.viewer import NetworkGUI
+
+        gui = NetworkGUI(args.ip, args.port)
+    except OSError as e:
+        print(f"Viewer server unavailable ({e}); continuing without GUI")
+
+    scene = Scene(model_cfg, capacity=args.capacity)
+    trainer = Trainer(
+        scene,
+        model_cfg,
+        opt_cfg,
+        pipe_cfg,
+        start_checkpoint=args.start_checkpoint,
+        tb_writer=tb_writer,
+        gui=gui,
+        quiet=args.quiet,
+    )
+    trainer.train(
+        test_iterations=set(args.test_iterations),
+        save_iterations=set(save_iterations),
+        checkpoint_iterations=set(args.checkpoint_iterations),
+        debug_from=args.debug_from,
+    )
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,11 @@ class ModelConfig:
     white_background: bool = False
     data_device: str = "tpu"  # reference default is "cuda"; kept for CLI parity
     eval: bool = False
+    # Skysphere extension (gsjax; no reference analog — SURVEY.md preamble):
+    # number of far-field sky Gaussians initialized on a sphere of
+    # sky_radius_scale * cameras_extent around the scene. 0 = vanilla.
+    sky_gaussians: int = 0
+    sky_radius_scale: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -134,7 +134,15 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (xyz [N,3] f64, rgb [N,3] u8, error [N] f64)."""
+    """Returns (xyz [N,3] f64, rgb [N,3] u8, error [N] f64).
+
+    Uses the native C++ parser when available (native/colmap_reader.cpp) —
+    the pure-Python loop below is the portable fallback/oracle."""
+    from gsjax.native import read_points3d_binary_native
+
+    native = read_points3d_binary_native(path)
+    if native is not None:
+        return native
     with open(path, "rb") as f:
         data = f.read()
     off = 0

@@ -116,8 +116,6 @@ def create_from_pcd(
       knn_dist2: optional precomputed [N] mean 3-NN squared distances
         (otherwise computed with gsjax.knn.mean_knn_dist2).
     """
-    from gsjax.knn import mean_knn_dist2
-
     n = points.shape[0]
     if capacity is None:
         capacity = max(1 << (n - 1).bit_length(), 1024)
@@ -127,7 +125,17 @@ def create_from_pcd(
 
     pts = jnp.asarray(points, jnp.float32)
     if knn_dist2 is None:
-        dist2 = mean_knn_dist2(pts)
+        # Native Morton/box 3-NN (the simple-knn equivalent) when the C++
+        # library is available; exact blocked JAX top-k otherwise.
+        from gsjax.native import mean_knn_dist2_native
+
+        native = mean_knn_dist2_native(np.asarray(points, np.float32))
+        if native is not None:
+            dist2 = jnp.asarray(native)
+        else:
+            from gsjax.knn import mean_knn_dist2
+
+            dist2 = mean_knn_dist2(pts)
     else:
         dist2 = jnp.asarray(knn_dist2, jnp.float32)
     scales = jnp.log(jnp.sqrt(jnp.maximum(dist2, 1e-7)))[:, None].repeat(3, axis=1)

@@ -1,0 +1,159 @@
+"""Tile-slab-sharded rendering.
+
+Each device on the "tile" mesh axis rasterizes a horizontal slab of tile
+rows against the full (replicated) Gaussian set: preprocess is recomputed
+per device (cheap, O(N)); binning and the Pallas composite run on the local
+slab only, so the expensive per-pixel work is 1/n_tile per device. The
+rasterization itself is embarrassingly parallel over pixels once binning is
+done (SURVEY.md §5.7).
+
+Slab geometry: the image is padded to whole 16px tile rows; device i owns
+tile rows [i*rows_per_dev, (i+1)*rows_per_dev). Splat math is translation
+invariant, so the slab is rendered by shifting mean_pix.y by -py0 and
+binning against a slab-local tile grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gsjax.config import RasterConfig
+from gsjax.core.cameras import Camera
+from gsjax.model import GaussianParams
+from gsjax.render.binning import bin_gaussians, num_tiles
+from gsjax.render.common import untile_image
+from gsjax.render.composite import CompositeStatic, composite
+from gsjax.render.preprocess import preprocess
+
+
+def slab_rows(height: int, n_tile: int, tile_size: int) -> int:
+    """Tile rows per device; the padded tile grid is split evenly (the last
+    device's slab may extend past the true image and is cropped after the
+    gather)."""
+    tiles_y = -(-height // tile_size)
+    return -(-tiles_y // n_tile)
+
+
+def render_slab(
+    params: GaussianParams,
+    camera: Camera,
+    *,
+    active_sh_degree: int,
+    cfg: RasterConfig,
+    py0: jnp.ndarray,
+    rows: int,
+    scaling_modifier: float = 1.0,
+    mean2d_offset: jnp.ndarray | None = None,
+    alive: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Rasterize the slab of `rows` tile rows starting at pixel row `py0`.
+
+    Returns (color [3, rows*ts, W_pad], transmittance [rows*ts, W_pad],
+    radii [N] int32, num_instances []) — uncropped tile-space slab, no
+    background applied (composite bg after the cross-device gather).
+    """
+    ts = cfg.tile_size
+    tiles_x, _ = num_tiles(camera.height, camera.width, ts)
+    slab_px = rows * ts
+    w_pad = tiles_x * ts
+
+    proj = preprocess(
+        xyz=params.xyz,
+        sh=params.get_features(),
+        opacity=params.get_opacity(),
+        scaling=params.get_scaling(),
+        rotation=params.rotation,
+        camera=camera,
+        active_sh_degree=active_sh_degree,
+        scaling_modifier=scaling_modifier,
+        mean2d_offset=mean2d_offset,
+        alive=alive,
+    )
+    shift = jnp.stack([jnp.zeros_like(py0), py0])
+    mean_local = proj.mean_pix - shift[None, :].astype(jnp.float32)
+
+    binning = bin_gaussians(
+        mean_local, proj.depth, proj.radius, slab_px, w_pad, cfg
+    )
+    static = CompositeStatic(
+        n_tiles=tiles_x * rows,
+        tiles_x=tiles_x,
+        tile_size=ts,
+        chunk=cfg.chunk,
+        interpret=cfg.interpret,
+    )
+    tile_color, tile_t = composite(
+        mean_local,
+        proj.conic,
+        proj.rgb,
+        proj.opacity,
+        binning.padded_gid,
+        binning.chunk_start,
+        binning.n_chunks,
+        static,
+    )
+    color, transmittance = untile_image(
+        tile_color, tile_t, slab_px, w_pad, tiles_x, rows, ts
+    )
+    return color, transmittance, proj.radius, binning.num_instances
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "active_sh_degree", "cfg", "scaling_modifier"),
+)
+def render_sharded(
+    params: GaussianParams,
+    camera: Camera,
+    *,
+    mesh: Mesh,
+    active_sh_degree: int,
+    bg_color: jnp.ndarray,
+    cfg: RasterConfig = RasterConfig(),
+    scaling_modifier: float = 1.0,
+    alive: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Render one view with tiles sharded over the mesh's "tile" axis.
+
+    Gaussians are replicated; each device rasterizes its slab; slabs are
+    gathered and cropped to [3, H, W]. Works under any "data" axis size (the
+    computation is replicated over "data").
+    """
+    n_tile = mesh.shape["tile"]
+    ts = cfg.tile_size
+    rows = slab_rows(camera.height, n_tile, ts)
+    if alive is None:
+        alive = jnp.ones(params.capacity, dtype=bool)
+
+    def body(params, camera, alive, bg):
+        py0 = (lax.axis_index("tile") * rows * ts).astype(jnp.float32)
+        color, t, _, _ = render_slab(
+            params,
+            camera,
+            active_sh_degree=active_sh_degree,
+            cfg=cfg,
+            py0=py0,
+            rows=rows,
+            scaling_modifier=scaling_modifier,
+            alive=alive,
+        )
+        full_c = lax.all_gather(color, "tile", axis=1, tiled=True)
+        full_t = lax.all_gather(t, "tile", axis=0, tiled=True)
+        img = full_c[:, : camera.height, : camera.width] + full_t[
+            None, : camera.height, : camera.width
+        ] * bg[:, None, None]
+        return img
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, camera, alive, bg_color)

@@ -131,6 +131,15 @@ def render(
     )
 
 
+def mark_visible(xyz: jnp.ndarray, camera: Camera) -> jnp.ndarray:
+    """[N] bool frustum visibility (the rasterizer's markVisible entry,
+    SURVEY.md §2.3a; near-plane test matching the in_frustum cull)."""
+    from gsjax.render.preprocess import NEAR_CULL_Z, project_points
+
+    _, p_view = project_points(xyz, camera)
+    return p_view[:, 2] > NEAR_CULL_Z
+
+
 def render_oracle(
     params: GaussianParams,
     camera: Camera,

@@ -203,6 +203,19 @@ class Scene:
                 cfg.sh_degree,
                 capacity=capacity,
             )
+            if cfg.sky_gaussians > 0:
+                from gsjax.sky import add_sky_shell
+
+                center = -np.asarray(
+                    info.nerf_normalization["translate"], np.float32
+                )
+                self.params, self.aux = add_sky_shell(
+                    self.params,
+                    self.aux,
+                    cfg.sky_gaussians,
+                    center,
+                    cfg.sky_radius_scale * self.cameras_extent,
+                )
 
     def get_train_banks(self, scale: float = 1.0) -> list[CameraBank]:
         return self.train_banks[scale]

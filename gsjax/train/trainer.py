@@ -1,0 +1,367 @@
+"""Host-side training orchestration around the jitted train step.
+
+The gsjax counterpart of the reference `training()` driver
+(reference: train.py:31-132): epoch-shuffled camera sampling, SH degree
+schedule, densify/prune cadence, opacity resets, PLY saves, checkpoints,
+test-set evaluation, TensorBoard logging, and remote-viewer polling.
+
+TPU specifics:
+* All hot work is one donated jitted step per (camera bank, SH degree);
+  densify/prune is a second jitted function invoked every 100 iterations.
+* The Gaussian buffer has static capacity; when densification fills it,
+  the buffers are grown (host-side re-pad to the next power of two) and
+  the step recompiles once per growth — the reference reallocates tensors
+  EVERY densify instead (reference: scene/gaussian_model.py:307-327).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsjax.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+    RasterConfig,
+)
+from gsjax.image_metrics import psnr as psnr_fn
+from gsjax.model import GaussianAux, GaussianParams
+from gsjax.render.api import render
+from gsjax.scene import CameraBank, Scene
+from gsjax.train.checkpoint import load_checkpoint, save_checkpoint
+from gsjax.train.densify import densify_and_prune, reset_opacity
+from gsjax.train.optimizer import AdamState, adam_init
+from gsjax.train.step import TrainState, train_step
+
+
+def grow_capacity(state: TrainState, new_cap: int) -> TrainState:
+    """Re-pad every per-Gaussian buffer to new_cap (recompile trigger)."""
+    old = state.params.capacity
+    extra = new_cap - old
+    if extra <= 0:
+        return state
+
+    def pad(x, fill=0.0):
+        if x.ndim == 0 or x.shape[0] != old:
+            return x
+        return jnp.pad(
+            x, [(0, extra)] + [(0, 0)] * (x.ndim - 1), constant_values=fill
+        )
+
+    params = GaussianParams(
+        xyz=pad(state.params.xyz),
+        features_dc=pad(state.params.features_dc),
+        features_rest=pad(state.params.features_rest),
+        scaling=pad(state.params.scaling, -10.0),
+        rotation=pad(state.params.rotation).at[old:, 0].set(1.0),
+        opacity=pad(state.params.opacity, -10.0),
+    )
+    opt = AdamState(
+        count=state.opt.count,
+        mu=jax.tree.map(pad, state.opt.mu),
+        nu=jax.tree.map(pad, state.opt.nu),
+    )
+    aux = GaussianAux(
+        alive=pad(state.aux.alive, False),
+        max_radii2d=pad(state.aux.max_radii2d),
+        xyz_grad_accum=pad(state.aux.xyz_grad_accum),
+        denom=pad(state.aux.denom),
+    )
+    return TrainState(params=params, opt=opt, aux=aux, step=state.step)
+
+
+_densify_jit = jax.jit(
+    densify_and_prune,
+    static_argnames=(
+        "grad_threshold",
+        "min_opacity",
+        "extent",
+        "max_screen_size",
+        "percent_dense",
+    ),
+    donate_argnums=(0, 1, 2),
+)
+_reset_opacity_jit = jax.jit(reset_opacity, donate_argnums=(0, 1))
+
+
+class Trainer:
+    def __init__(
+        self,
+        scene: Scene,
+        model_cfg: ModelConfig,
+        opt_cfg: OptimizationConfig,
+        pipe_cfg: PipelineConfig = PipelineConfig(),
+        raster_cfg: RasterConfig | None = None,
+        start_checkpoint: str | None = None,
+        tb_writer=None,
+        gui=None,
+        quiet: bool = False,
+    ):
+        self.scene = scene
+        self.model_cfg = model_cfg
+        self.opt_cfg = opt_cfg
+        self.pipe_cfg = pipe_cfg
+        self.raster_cfg = raster_cfg or RasterConfig(
+            interpret=jax.default_backend() != "tpu"
+        )
+        self.tb = tb_writer
+        self.gui = gui
+        self.quiet = quiet
+
+        self.active_sh_degree = 0
+        self.spatial_lr_scale = float(scene.cameras_extent)
+        self.first_iter = 0
+
+        if start_checkpoint:
+            state, sh_deg, lr_scale = load_checkpoint(start_checkpoint)
+            self.state = state
+            self.active_sh_degree = sh_deg
+            self.spatial_lr_scale = lr_scale
+            self.first_iter = int(state.step)
+            print(f"Restored checkpoint at iteration {self.first_iter}")
+        else:
+            self.state = TrainState(
+                params=scene.params,
+                opt=adam_init(scene.params),
+                aux=scene.aux,
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        bgv = [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0]
+        self.background = jnp.asarray(bgv, jnp.float32)
+        self.banks = scene.get_train_banks()
+        self._viewpoint_stack: list[tuple[int, int]] = []
+        self._render_cache: dict = {}
+        self._rng = np.random.default_rng(0)
+        self._key = jax.random.PRNGKey(0)
+
+    # ---------------------------------------------------------------- utils
+    def _next_view(self) -> tuple[int, int]:
+        """Epoch-shuffled (bank, index) sampling
+        (reference: train.py:75-78)."""
+        if not self._viewpoint_stack:
+            self._viewpoint_stack = [
+                (b, i)
+                for b, bank in enumerate(self.banks)
+                for i in range(bank.count)
+            ]
+            random.shuffle(self._viewpoint_stack)
+        return self._viewpoint_stack.pop()
+
+    def n_alive(self) -> int:
+        return int(self.state.aux.n_alive())
+
+    def render_view(self, camera, scaling_modifier: float = 1.0):
+        """One render through the public API (used by GUI + eval)."""
+        key = (camera.width, camera.height, self.active_sh_degree)
+        if key not in self._render_cache:
+            cfg = self.raster_cfg
+
+            @jax.jit
+            def _r(params, camera, alive, bg):
+                return render(
+                    params,
+                    camera,
+                    active_sh_degree=self.active_sh_degree,
+                    bg_color=bg,
+                    cfg=cfg,
+                    alive=alive,
+                ).image
+
+            self._render_cache[key] = _r
+        return self._render_cache[key](
+            self.state.params, camera, self.state.aux.alive, self.background
+        )
+
+    # ------------------------------------------------------------- main loop
+    def train(
+        self,
+        test_iterations=(7_000, 30_000),
+        save_iterations=(7_000, 30_000),
+        checkpoint_iterations=(),
+        debug_from: int = -1,
+    ) -> None:
+        opt = self.opt_cfg
+        iters = opt.iterations
+        ema_loss = 0.0
+        t_accum = 0.0
+        try:
+            from tqdm import tqdm
+
+            progress = tqdm(
+                range(self.first_iter, iters),
+                desc="Training progress",
+                disable=self.quiet,
+            )
+        except ImportError:
+            progress = None
+
+        for iteration in range(self.first_iter + 1, iters + 1):
+            self._poll_gui(iteration, iters)
+
+            # SH degree schedule (reference: train.py:71-73).
+            if iteration % 1000 == 0:
+                if self.active_sh_degree < self.state.params.max_sh_degree:
+                    self.active_sh_degree += 1
+
+            bank_idx, cam_idx = self._next_view()
+            bank = self.banks[bank_idx]
+            bg = (
+                jnp.asarray(self._rng.random(3), jnp.float32)
+                if opt.random_background
+                else self.background
+            )
+
+            t0 = time.perf_counter()
+            self.state, metrics = train_step(
+                self.state,
+                bank,
+                jnp.int32(cam_idx),
+                bg,
+                active_sh_degree=self.active_sh_degree,
+                opt_cfg=opt,
+                raster_cfg=self.raster_cfg,
+                spatial_lr_scale=self.spatial_lr_scale,
+            )
+
+            # Densification (reference: train.py:113-123).
+            if iteration < opt.densify_until_iter:
+                if (
+                    iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0
+                ):
+                    self._densify(iteration)
+                if iteration % opt.opacity_reset_interval == 0 or (
+                    self.model_cfg.white_background
+                    and iteration == opt.densify_from_iter
+                ):
+                    params, optst = _reset_opacity_jit(
+                        self.state.params, self.state.opt
+                    )
+                    self.state = self.state.replace(params=params, opt=optst)
+
+            loss = float(metrics.loss)
+            t_accum += time.perf_counter() - t0
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
+
+            if progress is not None and iteration % 10 == 0:
+                progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
+                progress.update(10)
+            if self.tb is not None:
+                self.tb.add_scalar(
+                    "train_loss_patches/l1_loss", float(metrics.l1), iteration
+                )
+                self.tb.add_scalar(
+                    "train_loss_patches/total_loss", loss, iteration
+                )
+                self.tb.add_scalar("iter_time", t_accum * 1000.0, iteration)
+                t_accum = 0.0
+
+            if iteration in test_iterations:
+                self._report_test(iteration)
+            if iteration in save_iterations:
+                print(f"\n[ITER {iteration}] Saving Gaussians")
+                self.scene.save(
+                    iteration, self.state.params, self.state.aux.alive
+                )
+            if iteration in checkpoint_iterations:
+                print(f"\n[ITER {iteration}] Saving Checkpoint")
+                save_checkpoint(
+                    os.path.join(
+                        self.scene.model_path, f"chkpnt{iteration}.npz"
+                    ),
+                    self.state,
+                    self.active_sh_degree,
+                    self.spatial_lr_scale,
+                )
+        if progress is not None:
+            progress.close()
+
+    # ------------------------------------------------------------- internals
+    def _densify(self, iteration: int) -> None:
+        opt = self.opt_cfg
+        size_threshold = (
+            20 if iteration > opt.opacity_reset_interval else 0
+        )  # reference: train.py:119
+        self._key, sub = jax.random.split(self._key)
+        params, aux, optst, stats = _densify_jit(
+            self.state.params,
+            self.state.aux,
+            self.state.opt,
+            sub,
+            grad_threshold=opt.densify_grad_threshold,
+            min_opacity=0.005,
+            extent=float(self.scene.cameras_extent),
+            max_screen_size=size_threshold,
+            percent_dense=opt.percent_dense,
+        )
+        self.state = self.state.replace(params=params, aux=aux, opt=optst)
+        n_alive = int(stats.n_alive)
+        cap = self.state.params.capacity
+        if n_alive > 0.75 * cap or int(stats.n_dropped) > 0:
+            new_cap = max(cap * 2, 1024)
+            print(
+                f"\n[ITER {iteration}] growing capacity {cap} -> {new_cap} "
+                f"(alive={n_alive}, dropped={int(stats.n_dropped)})"
+            )
+            self.state = grow_capacity(self.state, new_cap)
+
+    def _report_test(self, iteration: int) -> None:
+        """Held-out evaluation (reference: train.py:156-191)."""
+        for name, banks in (
+            ("test", self.scene.get_test_banks()),
+            ("train", self.banks),
+        ):
+            views = [
+                (b, i) for b, bank in enumerate(banks) for i in range(bank.count)
+            ]
+            if name == "train":
+                views = views[:: max(len(views) // 5, 1)][:5]
+            if not views:
+                continue
+            l1s, psnrs = [], []
+            for b, i in views:
+                bank = banks[b]
+                cam, gt = bank.pick(jnp.int32(i))
+                img = jnp.clip(self.render_view(cam), 0.0, 1.0)
+                l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+                psnrs.append(float(psnr_fn(img, gt).mean()))
+            l1 = float(np.mean(l1s))
+            ps = float(np.mean(psnrs))
+            print(
+                f"\n[ITER {iteration}] Evaluating {name}: L1 {l1:.6f} PSNR {ps:.3f}"
+            )
+            if self.tb is not None:
+                self.tb.add_scalar(f"{name}/loss_viewpoint - l1_loss", l1, iteration)
+                self.tb.add_scalar(f"{name}/loss_viewpoint - psnr", ps, iteration)
+        if self.tb is not None:
+            self.tb.add_scalar("total_points", self.n_alive(), iteration)
+
+    def _poll_gui(self, iteration: int, total_iters: int) -> None:
+        """Viewer polling (reference: train.py:52-66)."""
+        gui = self.gui
+        if gui is None:
+            return
+        if gui.conn is None:
+            gui.try_connect()
+        while gui.conn is not None:
+            try:
+                image_bytes = None
+                req = gui.receive()
+                if req.camera is not None:
+                    img = self.render_view(req.camera, req.scaling_modifier)
+                    image_bytes = gui.image_to_bytes(img)
+                gui.send(image_bytes, self.model_cfg.source_path)
+                if req.do_training and (
+                    iteration < total_iters or not req.keep_alive
+                ):
+                    break
+            except Exception:
+                gui.drop()

@@ -1,0 +1,147 @@
+"""Mesh-sharded rendering/training vs the single-device path (SURVEY.md §4:
+sharded render must equal single-device render, reduction order aside)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsjax.config import OptimizationConfig, RasterConfig
+from gsjax.model import GaussianAux
+from gsjax.parallel import make_mesh, render_sharded
+from gsjax.parallel.step import make_sharded_train_step
+from gsjax.render.api import render
+from gsjax.synthetic import look_at_origin_camera, random_scene
+from gsjax.train.optimizer import adam_init
+from gsjax.train.step import TrainState, train_step
+
+CFG = RasterConfig(max_instances=8192, interpret=True)
+H = W = 64
+SH_DEG = 1
+
+
+@pytest.fixture(scope="module")
+def scene():
+    params, aux = random_scene(300, capacity=512, sh_degree=SH_DEG, seed=3)
+    camera = look_at_origin_camera(width=W, height=H)
+    return params, aux, camera
+
+
+@pytest.mark.parametrize("data,tile", [(1, 4), (2, 2), (1, 1)])
+def test_render_sharded_matches_single(scene, data, tile):
+    params, aux, camera = scene
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    single = render(
+        params, camera, active_sh_degree=SH_DEG, bg_color=bg, cfg=CFG,
+        alive=aux.alive,
+    ).image
+    mesh = make_mesh(jax.devices()[: data * tile], data=data, tile=tile)
+    sharded = render_sharded(
+        params, camera, mesh=mesh, active_sh_degree=SH_DEG, bg_color=bg,
+        cfg=CFG, alive=aux.alive,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=2e-5, rtol=1e-4
+    )
+
+
+def _bank_args(camera, gt, data):
+    views = jnp.broadcast_to(camera.view, (data, 4, 4))
+    projs = jnp.broadcast_to(camera.full_proj, (data, 4, 4))
+    centers = jnp.broadcast_to(camera.cam_center, (data, 3))
+    tanx = jnp.broadcast_to(camera.tan_fovx, (data,))
+    tany = jnp.broadcast_to(camera.tan_fovy, (data,))
+    gts = jnp.broadcast_to(gt, (data,) + gt.shape)
+    return views, projs, centers, tanx, tany, gts
+
+
+def _one_camera_bank(camera, gt):
+    """Single-camera CameraBank whose pick() returns exactly (camera, gt)."""
+    from gsjax.scene import CameraBank
+
+    return CameraBank(
+        views=camera.view[None],
+        full_projs=camera.full_proj[None],
+        centers=camera.cam_center[None],
+        tan_fovx=camera.tan_fovx[None],
+        tan_fovy=camera.tan_fovy[None],
+        gt_rgb=jnp.round(gt * 255.0).astype(jnp.uint8)[None],
+        alpha=jnp.full((1, 1) + gt.shape[1:], 255, jnp.uint8),
+        width=camera.width,
+        height=camera.height,
+    )
+
+
+@pytest.mark.parametrize("data,tile", [(1, 2), (2, 2)])
+def test_sharded_step_matches_single(scene, data, tile):
+    """One sharded train step == one single-chip step on the same camera
+    (with the camera replicated over the data axis, the batch mean is a
+    no-op)."""
+    params, aux, camera = scene
+    opt_cfg = OptimizationConfig()
+    gt = jnp.tile(
+        jnp.linspace(0, 1, H * W, dtype=jnp.float32).reshape(1, H, W), (3, 1, 1)
+    )
+    gt = jnp.round(gt * 255.0) / 255.0  # match the uint8 bank quantization
+    bg = jnp.zeros(3, jnp.float32)
+
+    def fresh_state():
+        # Copies: train_step donates its state, which would otherwise
+        # delete the module-scoped fixture buffers.
+        p = jax.tree.map(jnp.copy, params)
+        return TrainState(
+            params=p,
+            opt=adam_init(p),
+            aux=jax.tree.map(jnp.copy, aux),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    s1, m1 = train_step(
+        fresh_state(),
+        _one_camera_bank(camera, gt),
+        jnp.int32(0),
+        bg,
+        active_sh_degree=SH_DEG,
+        opt_cfg=opt_cfg,
+        raster_cfg=CFG,
+        spatial_lr_scale=1.0,
+    )
+
+    mesh = make_mesh(jax.devices()[: data * tile], data=data, tile=tile)
+    step = make_sharded_train_step(
+        mesh,
+        height=H,
+        width=W,
+        active_sh_degree=SH_DEG,
+        opt_cfg=opt_cfg,
+        raster_cfg=CFG,
+        spatial_lr_scale=1.0,
+    )
+    s2, m2 = step(fresh_state(), *_bank_args(camera, gt, data), bg)
+
+    assert np.isfinite(float(m2.loss))
+    np.testing.assert_allclose(float(m2.loss), float(m1.loss), rtol=1e-5)
+    for name in ("xyz", "scaling", "opacity", "features_dc", "rotation"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s2.params, name)),
+            np.asarray(getattr(s1.params, name)),
+            atol=5e-5,
+            rtol=1e-3,
+            err_msg=name,
+        )
+    # Densification statistics agree (data axis replicates the camera, so
+    # sums scale by `data`).
+    np.testing.assert_allclose(
+        np.asarray(s2.aux.denom), np.asarray(s1.aux.denom) * data, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.aux.xyz_grad_accum),
+        np.asarray(s1.aux.xyz_grad_accum) * data,
+        atol=1e-6,
+        rtol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.aux.max_radii2d), np.asarray(s1.aux.max_radii2d), atol=0
+    )

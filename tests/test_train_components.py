@@ -162,7 +162,7 @@ class TestDensify:
         assert int(a2.n_alive()) == 22
         # Clones duplicate the source parameters exactly.
         new = np.asarray(p2.xyz[20:22])
-        src = np.sort(np.asarray(params.xyz[[0, 3]]), axis=0)
+        src = np.sort(np.asarray(params.xyz[np.array([0, 3])]), axis=0)
         np.testing.assert_allclose(np.sort(new, axis=0), src, atol=1e-6)
 
     def test_split_large_high_grad(self):
