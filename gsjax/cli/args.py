@@ -115,4 +115,8 @@ def make_train_parser() -> ArgumentParser:
         "--tile_parallel", type=int, default=1,
         help="devices sharding the tile grid of each camera",
     )
+    parser.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="capture a jax.profiler trace of steps 100-110 to this dir",
+    )
     return parser

@@ -52,6 +52,14 @@ def main(argv=None) -> None:
     print(f"Optimizing {model_cfg.model_path}")
     safe_state(args.quiet)
 
+    if args.detect_anomaly:
+        # The reference maps this to torch.autograd.set_detect_anomaly
+        # (reference: train.py:218); the JAX analog traps NaNs at the op
+        # that produced them.
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     model_cfg, tb_writer = prepare_output_and_logger(model_cfg)
 
     gui = None
@@ -72,6 +80,7 @@ def main(argv=None) -> None:
         tb_writer=tb_writer,
         gui=gui,
         quiet=args.quiet,
+        profile_dir=args.profile_dir,
     )
     trainer.train(
         test_iterations=set(args.test_iterations),

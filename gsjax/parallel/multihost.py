@@ -1,0 +1,38 @@
+"""Multi-host process-group initialization.
+
+SURVEY.md §5.8: the TPU-native distributed backend is
+jax.distributed.initialize over DCN + XLA collectives over ICI — no NCCL
+analog is written; this module is the thin policy layer (when to
+initialize, global mesh construction, host-local data sharding helpers).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize the multi-host process group when launched under a
+    multi-host coordinator (env-driven, as on TPU pods). Safe no-op for
+    single-process runs. Returns True when distributed mode is active."""
+    if jax.process_count() > 1:
+        return True
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    n = os.environ.get("NUM_PROCESSES")
+    pid = os.environ.get("PROCESS_ID")
+    if addr and n and pid:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(n),
+            process_id=int(pid),
+        )
+        return True
+    return False
+
+
+def host_local_views(n_total: int) -> range:
+    """The slice of camera indices this host loads (host-local data
+    loading; cameras are sharded round-robin over processes)."""
+    return range(jax.process_index(), n_total, jax.process_count())

@@ -117,9 +117,7 @@ def render(
         proj.conic,
         proj.rgb,
         proj.opacity,
-        binning.padded_gid,
-        binning.chunk_start,
-        binning.n_chunks,
+        binning,
         static,
     )
     color, transmittance = untile_image(

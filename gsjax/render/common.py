@@ -147,6 +147,25 @@ def chunk_forward(
     return t_out, done_out, contrib
 
 
+def _moment_basis(px: jnp.ndarray, py: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Tile-centered pixel moment basis for the backward's MXU reductions.
+
+    Returns (m [6, PIX] bf16, cx, cy). Centered coordinates px' = px - cx
+    take values k+0.5 with |k| < tile_size/2, so px', py', and their
+    products up to degree 2 are EXACT in bf16 — the moment matmul loses no
+    precision on the basis side.
+    """
+    cx = 0.5 * (jnp.max(px) + jnp.min(px))
+    cy = 0.5 * (jnp.max(py) + jnp.min(py))
+    pxc = (px - cx)[:, 0]  # (PIX,)
+    pyc = (py - cy)[:, 0]
+    ones = jnp.ones_like(pxc)
+    m = jnp.stack(
+        [ones, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc], axis=0
+    )  # (6, PIX)
+    return m.astype(jnp.bfloat16), cx, cy
+
+
 def chunk_backward(
     inst: jnp.ndarray,
     px: jnp.ndarray,
@@ -181,6 +200,7 @@ def chunk_backward(
       (t_out, done_out, prefix_out) replay state, and grads (ROWS, K) with
       rows [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop].
     """
+    pix = px.shape[0]
     alpha, G, keep = chunk_alpha(inst, px, py)
     lg = jnp.log1p(-alpha)
     cum_excl = _tri_cumsum(lg, exclusive=True)
@@ -192,51 +212,81 @@ def chunk_backward(
     live = 1.0 - skip
     w = alpha * t_before * live  # (PIX, K)
 
-    # dL/dc_k[ch] = sum_px w * dC_ch  -> (3, K); sublane reductions, exact f32.
-    d_colors = jnp.concatenate(
-        [jnp.sum(w * d_color[:, ch : ch + 1], axis=0, keepdims=True) for ch in range(3)],
-        axis=0,
-    )  # (3, K)
+    # dL/dc_k[ch] = sum_px w * dC_ch -> (3, K): one hi/lo MXU matmul over
+    # pixels (dC split exactly; w rounded to bf16).
+    dct = d_color.T  # (3, PIX)
+    dct_hi = dct.astype(jnp.bfloat16)
+    dct_lo = (dct - dct_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d_colors = jnp.dot(
+        jnp.concatenate([dct_hi, dct_lo], axis=0),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    d_colors = d_colors[:3] + d_colors[3:]  # (3, K)
 
-    # Running prefix premultiplied color through k: (PIX, K) per channel.
-    # suffix_k = C_total - P_k  (color composited behind instance k).
-    d_alpha = jnp.zeros_like(w)
+    # suffix_k = C_total - prefix_in - cum_wc_k per channel. Since cumsum is
+    # LINEAR, the channel sum Σ_ch dC_ch · cum(wc_ch) equals cum(w · s) with
+    # s = Σ_ch dC_ch c_ch — ONE triangular matmul instead of three (the
+    # kernel is MXU-launch-bound, so dot count is the dominant cost):
+    #   d_alpha = s·T_k - (A - cum_incl(w·s)) / (1-α),
+    #   A = Σ_ch dC_ch (C_total - prefix_in)_ch.
+    c3 = inst[ROW_R : ROW_B + 1, :]  # (3, K)
+    s = (
+        d_color[:, 0:1] * c3[0:1, :]
+        + d_color[:, 1:2] * c3[1:2, :]
+        + d_color[:, 2:3] * c3[2:3, :]
+    )  # (PIX, K)
+    u = w * s
+    cum_u = _tri_cumsum(u, exclusive=False)
+    A = jnp.sum(d_color * (c_total - prefix_in), axis=-1, keepdims=True)  # (PIX,1)
     one_minus = 1.0 - alpha
-    chunk_sums = []
-    for ch, row in enumerate((ROW_R, ROW_G, ROW_B)):
-        c_ch = inst[row : row + 1, :]  # (1, K)
-        wc = w * c_ch
-        cum_wc = _tri_cumsum(wc, exclusive=False)
-        p_k = prefix_in[:, ch : ch + 1] + cum_wc
-        suffix = c_total[:, ch : ch + 1] - p_k
-        d_alpha = d_alpha + d_color[:, ch : ch + 1] * (
-            c_ch * t_before - suffix / one_minus
-        )
-        chunk_sums.append(jnp.sum(wc, axis=-1, keepdims=True))
-    prefix_out = prefix_in + jnp.concatenate(chunk_sums, axis=-1)
+    d_alpha = s * t_before - (A - cum_u) / one_minus
+    prefix_out = prefix_in + jnp.concatenate(
+        [
+            jnp.sum(w * c3[ch : ch + 1, :], axis=-1, keepdims=True)
+            for ch in range(3)
+        ],
+        axis=-1,
+    )
     d_alpha = d_alpha - d_tfinal * t_final / one_minus
     d_alpha = d_alpha * live  # skipped instances get no gradient
 
     # Chain through alpha = op * exp(power) (straight-through past the cap).
+    # All six position/conic gradients are pixel sums of d_power times a
+    # degree-2 polynomial in (dx, dy); with q = G * d_alpha * keep
+    # (d_power = op * q) they reduce to the 0th..2nd moments of q over the
+    # tile-centered pixel basis — ONE small matmul on the MXU instead of
+    # six sublane-reduction trees (the kernel's dominant cost).
     op = inst[ROW_OP : ROW_OP + 1, :]
-    d_op = jnp.sum(G * d_alpha * keep, axis=0, keepdims=True)  # (1, K)
-    d_G = op * d_alpha * keep
-    d_power = G * d_G  # (PIX, K)
+    q = G * d_alpha * keep  # (PIX, K)
+    m, cx, cy = _moment_basis(px, py)
+    mq = jnp.dot(m, q.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    s0 = mq[0:1, :]
+    sx = mq[1:2, :]
+    sy = mq[2:3, :]
+    sxx = mq[3:4, :]
+    sxy = mq[4:5, :]
+    syy = mq[5:6, :]
+    d_op = s0  # sum of q
 
     mx = inst[ROW_MX : ROW_MX + 1, :]
     my = inst[ROW_MY : ROW_MY + 1, :]
     ca = inst[ROW_CA : ROW_CA + 1, :]
     cb = inst[ROW_CB : ROW_CB + 1, :]
     cc = inst[ROW_CC : ROW_CC + 1, :]
-    dx = mx - px
-    dy = my - py
-    d_dx = d_power * (-(ca * dx + cb * dy))
-    d_dy = d_power * (-(cc * dy + cb * dx))
-    d_mx = jnp.sum(d_dx, axis=0, keepdims=True)
-    d_my = jnp.sum(d_dy, axis=0, keepdims=True)
-    d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-    d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-    d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+    # dx = mx - px = mxc - px' with mxc = mx - cx; moments translate.
+    mxc = mx - cx
+    myc = my - cy
+    dxm = mxc * s0 - sx  # sum q * dx
+    dym = myc * s0 - sy
+    dxxm = mxc * mxc * s0 - 2.0 * mxc * sx + sxx  # sum q * dx^2
+    dxym = mxc * myc * s0 - mxc * sy - myc * sx + sxy
+    dyym = myc * myc * s0 - 2.0 * myc * sy + syy
+    d_mx = -op * (ca * dxm + cb * dym)
+    d_my = -op * (cc * dym + cb * dxm)
+    d_ca = -0.5 * op * dxxm
+    d_cb = -op * dxym
+    d_cc = -0.5 * op * dyym
 
     k = inst.shape[-1]
     grads = jnp.concatenate(
@@ -287,22 +337,14 @@ def build_inst_data(
     zero row whose opacity 0 makes them no-ops.
     """
     n = mean_pix.shape[0]
-    fields = jnp.stack(
-        [
-            mean_pix[:, 0],
-            mean_pix[:, 1],
-            conic[:, 0],
-            conic[:, 1],
-            conic[:, 2],
-            rgb[:, 0],
-            rgb[:, 1],
-            rgb[:, 2],
-            opacity.reshape(-1),
-        ],
-        axis=0,
-    )  # (N_FIELDS, N)
-    fields = jnp.pad(fields, ((0, ROWS - N_FIELDS), (0, 1)))  # sentinel col
-    return jnp.take(fields, padded_gid, axis=1, fill_value=0.0)
+    fields = jnp.concatenate(
+        [mean_pix, conic, rgb, opacity.reshape(-1, 1)], axis=-1
+    )  # (N, N_FIELDS)
+    fields = jnp.pad(fields, ((0, 1), (0, ROWS - N_FIELDS)))  # sentinel row
+    # Row gather (contiguous 64B rows — far faster than a lane-axis gather
+    # at instance rate), then one bulk transpose to the kernel layout.
+    inst_rows = jnp.take(fields, padded_gid, axis=0)  # (P_PAD, ROWS)
+    return inst_rows.T
 
 
 def untile_image(

@@ -61,6 +61,11 @@ def _fwd_kernel(
     def _():
         get_dma(0, 0).start()
 
+    # NOTE: a while_loop with an all-pixels-done early exit was tried here
+    # (the CUDA loop's break); Mosaic cannot software-pipeline across
+    # while_loop iterations and throughput dropped 3.5x, far outweighing
+    # the skipped work. fori_loop + the per-instance `done` masking inside
+    # chunk_forward keeps the numerics identical.
     def body(j, carry):
         t_in, done_in, acc = carry
         slot = j % 2
@@ -136,6 +141,7 @@ def _bwd_kernel(
     n_chunks_ref,
     # inputs
     inst_hbm,
+    zeros_hbm,  # aliased to grads_hbm: pre-zeroed for early-exited chunks
     color_ref,
     t_ref,
     d_color_ref,
@@ -152,6 +158,7 @@ def _bwd_kernel(
     tile_size: int,
     chunk: int,
 ):
+    del zeros_hbm
     t = pl.program_id(0)
     base = chunk_start_ref[t]
     n = n_chunks_ref[t]
@@ -179,6 +186,8 @@ def _bwd_kernel(
     def _():
         read_dma(0, 0).start()
 
+    # fori (not while-with-early-exit) for cross-iteration pipelining —
+    # see the forward kernel's note.
     def body(j, carry):
         t_in, done_in, prefix = carry
         slot = j % 2
@@ -211,7 +220,7 @@ def _bwd_kernel(
     # Drain outstanding gradient writes.
     @pl.when(n >= 2)
     def _():
-        write_dma((n - 2) % 2, n - 2).wait()
+        write_dma(n % 2, n - 2).wait()
 
     @pl.when(n >= 1)
     def _():
@@ -244,6 +253,7 @@ def composite_backward_pallas(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, pix, 3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, pix, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, pix, 3), lambda i, *_: (i, 0, 0)),
@@ -260,10 +270,17 @@ def composite_backward_pallas(
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, tile_size=tile_size, chunk=chunk
     )
+    # The grad stream is aliased to a zeros input: every chunk belonging to
+    # a tile is written by the kernel, but the padded stream's unowned tail
+    # slots are not — their rows must read back zero rather than garbage
+    # for the caller's segment-sum (sentinel rows are dropped, but keeping
+    # the buffer defined costs one cheap memset and removes the hazard).
+    zeros = jnp.zeros((ROWS, p_pad), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ROWS, p_pad), jnp.float32)],
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
@@ -273,6 +290,7 @@ def composite_backward_pallas(
         chunk_start,
         n_chunks,
         inst_data,
+        zeros,
         tile_color,
         tile_t,
         d_tile_color,

@@ -41,6 +41,50 @@ def save_checkpoint(
     np.savez(path, **arrays)
 
 
+def save_checkpoint_orbax(
+    path: str, state: TrainState, active_sh_degree: int, spatial_lr_scale: float
+) -> None:
+    """Orbax variant for sharded/multi-host checkpoints (SURVEY.md §5.4):
+    each host writes only its addressable shards; restore re-shards to the
+    current mesh. The .npz path above stays the single-host default."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "state": state,
+        "meta": {
+            "active_sh_degree": np.int32(active_sh_degree),
+            "spatial_lr_scale": np.float32(spatial_lr_scale),
+        },
+    }
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str) -> tuple[TrainState, int, float]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    s = payload["state"]
+
+    def params(d):
+        return GaussianParams(**{f: jnp.asarray(d[f]) for f in _PARAM_FIELDS})
+
+    state = TrainState(
+        params=params(s["params"]),
+        opt=AdamState(
+            count=jnp.asarray(s["opt"]["count"]),
+            mu=params(s["opt"]["mu"]),
+            nu=params(s["opt"]["nu"]),
+        ),
+        aux=GaussianAux(**{k: jnp.asarray(v) for k, v in s["aux"].items()}),
+        step=jnp.asarray(s["step"]),
+    )
+    meta = payload["meta"]
+    return state, int(meta["active_sh_degree"]), float(meta["spatial_lr_scale"])
+
+
 def load_checkpoint(path: str) -> tuple[TrainState, int, float]:
     """Returns (state, active_sh_degree, spatial_lr_scale)."""
     z = np.load(path)

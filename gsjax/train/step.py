@@ -65,30 +65,16 @@ def _loss_and_render(
     return loss, (out, l1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("active_sh_degree", "opt_cfg", "raster_cfg", "spatial_lr_scale"),
-    donate_argnames=("state",),
-)
-def train_step(
+def _step_core(
     state: TrainState,
     bank,
     cam_idx: jnp.ndarray,
     bg: jnp.ndarray,
-    *,
     active_sh_degree: int,
     opt_cfg: OptimizationConfig,
     raster_cfg: RasterConfig,
     spatial_lr_scale: float,
 ) -> tuple[TrainState, StepMetrics]:
-    """One optimization iteration.
-
-    Args:
-      state: donated; params/opt/aux are updated in place.
-      bank: CameraBank holding the views + device-resident GT images.
-      cam_idx: [] int32 — the sampled view (gathered on device).
-      bg: [3] background for this step (random when random_background).
-    """
     camera, gt_image = bank.pick(cam_idx)
     offset = jnp.zeros((state.params.capacity, 2), jnp.float32)
     (loss, (out, l1)), (g_params, g_offset) = jax.value_and_grad(
@@ -115,3 +101,68 @@ def train_step(
     )
     metrics = StepMetrics(loss=loss, l1=l1, num_instances=out.num_instances)
     return new_state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "opt_cfg", "raster_cfg", "spatial_lr_scale"),
+    donate_argnames=("state",),
+)
+def train_step(
+    state: TrainState,
+    bank,
+    cam_idx: jnp.ndarray,
+    bg: jnp.ndarray,
+    *,
+    active_sh_degree: int,
+    opt_cfg: OptimizationConfig,
+    raster_cfg: RasterConfig,
+    spatial_lr_scale: float,
+) -> tuple[TrainState, StepMetrics]:
+    """One optimization iteration.
+
+    Args:
+      state: donated; params/opt/aux are updated in place.
+      bank: CameraBank holding the views + device-resident GT images.
+      cam_idx: [] int32 — the sampled view (gathered on device).
+      bg: [3] background for this step (random when random_background).
+    """
+    return _step_core(
+        state, bank, cam_idx, bg, active_sh_degree, opt_cfg, raster_cfg,
+        spatial_lr_scale,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "opt_cfg", "raster_cfg", "spatial_lr_scale"),
+    donate_argnames=("state",),
+)
+def train_steps(
+    state: TrainState,
+    bank,
+    cam_indices: jnp.ndarray,
+    bgs: jnp.ndarray,
+    *,
+    active_sh_degree: int,
+    opt_cfg: OptimizationConfig,
+    raster_cfg: RasterConfig,
+    spatial_lr_scale: float,
+) -> tuple[TrainState, StepMetrics]:
+    """A scanned window of W iterations in ONE dispatch.
+
+    Per-step host round trips dominate wall-clock when the host-device
+    link is slow; the trainer batches the iterations between densify /
+    logging boundaries through this scan. cam_indices: [W] int32;
+    bgs: [W, 3]. Returns per-step metrics stacked along the window.
+    """
+
+    def one(st, xs):
+        idx, bg = xs
+        st, metrics = _step_core(
+            st, bank, idx, bg, active_sh_degree, opt_cfg, raster_cfg,
+            spatial_lr_scale,
+        )
+        return st, metrics
+
+    return jax.lax.scan(one, state, (cam_indices, bgs))

@@ -38,7 +38,7 @@ from gsjax.scene import CameraBank, Scene
 from gsjax.train.checkpoint import load_checkpoint, save_checkpoint
 from gsjax.train.densify import densify_and_prune, reset_opacity
 from gsjax.train.optimizer import AdamState, adam_init
-from gsjax.train.step import TrainState, train_step
+from gsjax.train.step import TrainState, train_step, train_steps
 
 
 def grow_capacity(state: TrainState, new_cap: int) -> TrainState:
@@ -103,6 +103,7 @@ class Trainer:
         tb_writer=None,
         gui=None,
         quiet: bool = False,
+        profile_dir: str | None = None,
     ):
         self.scene = scene
         self.model_cfg = model_cfg
@@ -114,6 +115,10 @@ class Trainer:
         self.tb = tb_writer
         self.gui = gui
         self.quiet = quiet
+        # jax.profiler trace window (SURVEY.md §5.1); steps 100..110 catch
+        # a steady-state window past the initial compiles.
+        self.profile_dir = profile_dir
+        self._profile_window = (100, 110)
 
         self.active_sh_degree = 0
         self.spatial_lr_scale = float(scene.cameras_extent)
@@ -158,14 +163,30 @@ class Trainer:
     def n_alive(self) -> int:
         return int(self.state.aux.n_alive())
 
-    def render_view(self, camera, scaling_modifier: float = 1.0):
-        """One render through the public API (used by GUI + eval)."""
-        key = (camera.width, camera.height, self.active_sh_degree)
+    def render_view(
+        self,
+        camera,
+        scaling_modifier: float = 1.0,
+        shs_python: bool | None = None,
+        cov3d_python: bool | None = None,
+    ):
+        """One render through the public API (used by GUI + eval). The
+        *_python flags select the standalone mirror math paths
+        (reference pipe.convert_SHs_python / compute_cov3D_python,
+        gaussian_renderer/__init__.py:57-82); they default to the
+        PipelineConfig settings."""
+        shs = self.pipe_cfg.convert_SHs_python if shs_python is None else shs_python
+        cov = (
+            self.pipe_cfg.compute_cov3D_python
+            if cov3d_python is None
+            else cov3d_python
+        )
+        key = (camera.width, camera.height, self.active_sh_degree, shs, cov)
         if key not in self._render_cache:
             cfg = self.raster_cfg
 
             @jax.jit
-            def _r(params, camera, alive, bg):
+            def _r(params, camera, alive, bg, sm):
                 return render(
                     params,
                     camera,
@@ -173,25 +194,82 @@ class Trainer:
                     bg_color=bg,
                     cfg=cfg,
                     alive=alive,
+                    scaling_modifier=sm,
+                    convert_shs_outside=shs,
+                    compute_cov3d_outside=cov,
                 ).image
 
             self._render_cache[key] = _r
         return self._render_cache[key](
-            self.state.params, camera, self.state.aux.alive, self.background
+            self.state.params,
+            camera,
+            self.state.aux.alive,
+            self.background,
+            jnp.float32(scaling_modifier),
         )
 
     # ------------------------------------------------------------- main loop
+    def _next_boundary(self, it: int, events) -> int:
+        """Last iteration (inclusive) of the window starting at it+1: the
+        nearest upcoming event at which host-side work must run."""
+        opt = self.opt_cfg
+        cands = [opt.iterations]
+        # SH schedule boundary: the bump applies to iteration k*1000 itself
+        # (reference: train.py:71-73), so windows must END at k*1000 - 1.
+        cands.append((it // 1000 + 1) * 1000 - 1)
+        if it < opt.densify_until_iter:
+            d = opt.densification_interval
+            cands.append((it // d + 1) * d)
+            r = opt.opacity_reset_interval
+            cands.append((it // r + 1) * r)
+            cands.append(opt.densify_from_iter)
+            cands.append(opt.densify_until_iter)
+        cands.extend(e for e in events if e > it)
+        if self.profile_dir is not None:
+            cands.extend(w for w in self._profile_window if w > it)
+        return min(c for c in cands if c > it)
+
+    def _next_window(self, max_len: int) -> tuple[int, list[int]]:
+        """Pop up to max_len same-bank views from the epoch stack."""
+        if not self._viewpoint_stack:
+            self._next_view_refill()
+        bank_idx = self._viewpoint_stack[-1][0]
+        cams = []
+        while (
+            self._viewpoint_stack
+            and len(cams) < max_len
+            and self._viewpoint_stack[-1][0] == bank_idx
+        ):
+            cams.append(self._viewpoint_stack.pop()[1])
+        return bank_idx, cams
+
+    def _next_view_refill(self) -> None:
+        stack = [
+            (b, i)
+            for b, bank in enumerate(self.banks)
+            for i in range(bank.count)
+        ]
+        random.shuffle(stack)
+        if len(self.banks) > 1:
+            # Group contiguous runs by bank so scan windows stay on one
+            # compiled step; run order stays random.
+            stack.sort(key=lambda bi: bi[0])
+        self._viewpoint_stack = stack
+
     def train(
         self,
         test_iterations=(7_000, 30_000),
         save_iterations=(7_000, 30_000),
         checkpoint_iterations=(),
         debug_from: int = -1,
+        max_window: int = 50,
     ) -> None:
         opt = self.opt_cfg
         iters = opt.iterations
         ema_loss = 0.0
-        t_accum = 0.0
+        events = sorted(
+            set(test_iterations) | set(save_iterations) | set(checkpoint_iterations)
+        )
         try:
             from tqdm import tqdm
 
@@ -203,33 +281,72 @@ class Trainer:
         except ImportError:
             progress = None
 
-        for iteration in range(self.first_iter + 1, iters + 1):
-            self._poll_gui(iteration, iters)
+        iteration = self.first_iter
+        while iteration < iters:
+            self._poll_gui(iteration + 1, iters)
 
-            # SH degree schedule (reference: train.py:71-73).
-            if iteration % 1000 == 0:
+            # SH degree schedule: the next step is iteration+1; bump when it
+            # crosses a multiple of 1000 (reference: train.py:71-73).
+            if (iteration + 1) % 1000 == 0:
                 if self.active_sh_degree < self.state.params.max_sh_degree:
                     self.active_sh_degree += 1
 
-            bank_idx, cam_idx = self._next_view()
+            end = min(self._next_boundary(iteration, events), iters)
+            bank_idx, cams = self._next_window(min(max_window, end - iteration))
+            w = len(cams)
             bank = self.banks[bank_idx]
-            bg = (
-                jnp.asarray(self._rng.random(3), jnp.float32)
-                if opt.random_background
-                else self.background
-            )
+            if opt.random_background:
+                bgs = jnp.asarray(self._rng.random((w, 3)), jnp.float32)
+            else:
+                bgs = jnp.broadcast_to(self.background, (w, 3))
 
             t0 = time.perf_counter()
-            self.state, metrics = train_step(
+            self.state, metrics = train_steps(
                 self.state,
                 bank,
-                jnp.int32(cam_idx),
-                bg,
+                jnp.asarray(cams, jnp.int32),
+                bgs,
                 active_sh_degree=self.active_sh_degree,
                 opt_cfg=opt,
                 raster_cfg=self.raster_cfg,
                 spatial_lr_scale=self.spatial_lr_scale,
             )
+            losses = np.asarray(metrics.loss)
+            dt = time.perf_counter() - t0
+            if not np.isfinite(losses[-1]):
+                # Debug snapshot on failure — the gsjax analog of the CUDA
+                # rasterizer's --debug input dump (reference:
+                # README.md:143-146): persist the state for offline replay.
+                path = os.path.join(
+                    self.scene.model_path or ".",
+                    f"snapshot_it{iteration + w}.npz",
+                )
+                save_checkpoint(
+                    path, self.state, self.active_sh_degree, self.spatial_lr_scale
+                )
+                raise FloatingPointError(
+                    f"non-finite loss in window ending at {iteration + w}; "
+                    f"state dumped to {path}"
+                )
+
+            for k in range(w):
+                it_k = iteration + 1 + k
+                ema_loss = 0.4 * float(losses[k]) + 0.6 * ema_loss
+                if self.tb is not None:
+                    self.tb.add_scalar(
+                        "train_loss_patches/l1_loss",
+                        float(np.asarray(metrics.l1)[k]),
+                        it_k,
+                    )
+                    self.tb.add_scalar(
+                        "train_loss_patches/total_loss", float(losses[k]), it_k
+                    )
+                    self.tb.add_scalar("iter_time", dt / w * 1000.0, it_k)
+            if progress is not None:
+                progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
+                progress.update(w)
+
+            iteration += w
 
             # Densification (reference: train.py:113-123).
             if iteration < opt.densify_until_iter:
@@ -247,22 +364,12 @@ class Trainer:
                     )
                     self.state = self.state.replace(params=params, opt=optst)
 
-            loss = float(metrics.loss)
-            t_accum += time.perf_counter() - t0
-            ema_loss = 0.4 * loss + 0.6 * ema_loss
-
-            if progress is not None and iteration % 10 == 0:
-                progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
-                progress.update(10)
-            if self.tb is not None:
-                self.tb.add_scalar(
-                    "train_loss_patches/l1_loss", float(metrics.l1), iteration
-                )
-                self.tb.add_scalar(
-                    "train_loss_patches/total_loss", loss, iteration
-                )
-                self.tb.add_scalar("iter_time", t_accum * 1000.0, iteration)
-                t_accum = 0.0
+            if self.profile_dir is not None:
+                if iteration == self._profile_window[0]:
+                    jax.profiler.start_trace(self.profile_dir)
+                elif iteration == self._profile_window[1]:
+                    jax.block_until_ready(self.state.params.xyz)
+                    jax.profiler.stop_trace()
 
             if iteration in test_iterations:
                 self._report_test(iteration)
@@ -356,7 +463,12 @@ class Trainer:
                 image_bytes = None
                 req = gui.receive()
                 if req.camera is not None:
-                    img = self.render_view(req.camera, req.scaling_modifier)
+                    img = self.render_view(
+                        req.camera,
+                        req.scaling_modifier,
+                        shs_python=req.do_shs_python,
+                        cov3d_python=req.do_rot_scale_python,
+                    )
                     image_bytes = gui.image_to_bytes(img)
                 gui.send(image_bytes, self.model_cfg.source_path)
                 if req.do_training and (
