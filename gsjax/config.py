@@ -81,14 +81,18 @@ class RasterConfig:
       chunk: instances processed per inner step of the composite kernel AND
         the alignment unit of per-tile instance ranges; 128 = one TPU lane
         register row of f32.
-      max_instances: static budget for (gaussian, tile) pairs before padding.
-        Pairs past the budget are dropped (overflow is reported).
+      max_instances: static budget for EXACT (gaussian, tile) pairs (pairs
+        whose tile contains at least one pixel with alpha >= 1/255). Pairs
+        past the budget are dropped deepest-first (overflow is reported).
+      max_rows: static budget for (gaussian, tile-row) runs, the
+        intermediate level of the two-level instance expansion.
       interpret: run Pallas kernels in interpreter mode (CPU tests/debug).
     """
 
     tile_size: int = 16
     chunk: int = 128
     max_instances: int = 2 ** 21
+    max_rows: int = 2 ** 21
     interpret: bool = False
 
     @property

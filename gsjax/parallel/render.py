@@ -27,7 +27,7 @@ from gsjax.core.cameras import Camera
 from gsjax.model import GaussianParams
 from gsjax.render.binning import bin_gaussians, num_tiles
 from gsjax.render.common import untile_image
-from gsjax.render.composite import CompositeStatic, composite
+from gsjax.render.composite import CompositeStatic, composite, pack_fields
 from gsjax.render.preprocess import preprocess
 
 
@@ -78,7 +78,7 @@ def render_slab(
     mean_local = proj.mean_pix - shift[None, :].astype(jnp.float32)
 
     binning = bin_gaussians(
-        mean_local, proj.depth, proj.radius, slab_px, w_pad, cfg
+        mean_local, proj.depth, proj.ext, proj.conic, proj.qmax, slab_px, w_pad, cfg
     )
     static = CompositeStatic(
         n_tiles=tiles_x * rows,
@@ -87,13 +87,9 @@ def render_slab(
         chunk=cfg.chunk,
         interpret=cfg.interpret,
     )
+    fields = pack_fields(mean_local, proj.conic, proj.rgb, proj.opacity)
     tile_color, tile_t = composite(
-        mean_local,
-        proj.conic,
-        proj.rgb,
-        proj.opacity,
-        binning,
-        static,
+        jnp.take(fields, binning.perm, axis=0), binning, static
     )
     color, transmittance = untile_image(
         tile_color, tile_t, slab_px, w_pad, tiles_x, rows, ts

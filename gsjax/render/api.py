@@ -19,7 +19,7 @@ from gsjax.core.cameras import Camera
 from gsjax.model import GaussianParams
 from gsjax.render.binning import bin_gaussians, num_tiles
 from gsjax.render.common import untile_image
-from gsjax.render.composite import CompositeStatic, composite
+from gsjax.render.composite import CompositeStatic, composite, pack_fields
 from gsjax.render.preprocess import preprocess
 
 
@@ -101,7 +101,14 @@ def render(
     )
 
     binning = bin_gaussians(
-        proj.mean_pix, proj.depth, proj.radius, camera.height, camera.width, cfg
+        proj.mean_pix,
+        proj.depth,
+        proj.ext,
+        proj.conic,
+        proj.qmax,
+        camera.height,
+        camera.width,
+        cfg,
     )
 
     tiles_x, tiles_y = num_tiles(camera.height, camera.width, cfg.tile_size)
@@ -112,13 +119,11 @@ def render(
         chunk=cfg.chunk,
         interpret=cfg.interpret,
     )
+    # Depth-permute the packed differentiable fields (one N-rate gather; its
+    # autodiff maps cotangents back to original order with one scatter-add).
+    fields = pack_fields(proj.mean_pix, proj.conic, proj.rgb, proj.opacity)
     tile_color, tile_t = composite(
-        proj.mean_pix,
-        proj.conic,
-        proj.rgb,
-        proj.opacity,
-        binning,
-        static,
+        jnp.take(fields, binning.perm, axis=0), binning, static
     )
     color, transmittance = untile_image(
         tile_color, tile_t, camera.height, camera.width, tiles_x, tiles_y, cfg.tile_size

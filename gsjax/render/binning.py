@@ -1,23 +1,37 @@
-"""Tile binning: expand (Gaussian, tile) instance pairs, depth-sort them per
-tile, and lay them out in chunk-aligned per-tile ranges for the compositor.
+"""Tile binning: expand depth-ordered (gaussian, tile) instance pairs and
+group them per tile for the compositor.
 
 TPU-native re-design of the CUDA rasterizer's duplicateWithKeys + radix-sort
-+ identifyTileRanges stages. Differences driven by XLA static shapes:
++ identifyTileRanges stages, shaped by what is actually fast on TPU: a
+global data movement by index (gather/scatter at instance rate) costs ~7 ns
+PER ROW on a v5e chip while a 1-key+1-value `lax.sort` costs ~2.5 ns per
+element — so the layout below spends two instance-rate gathers and two
+1-key sorts, and nothing else at instance rate:
 
-* Fixed instance budget `max_instances` (overflow counted and reported, not
-  silent — callers can log and grow the budget).
-* Instance expansion is GATHER-based: slot p finds its owner Gaussian with a
-  searchsorted over the cumulative tile-count array — no dynamic scatter, no
-  per-Gaussian inner loop, O(P log N) fully vectorized.
-* One `lax.sort` over (tile, depth) (stable, matching the CUDA radix sort's
-  stability).
-* Per-tile ranges are PADDED to a multiple of `chunk` and instances scattered
-  into the padded layout, so each `chunk`-sized block of the instance stream
-  belongs to exactly one tile: the Pallas kernel's DMAs are aligned, and the
-  backward kernel's per-instance gradient writes never race across tiles.
+1. Gaussians are depth-sorted FIRST (N-rate, ~12x smaller than the instance
+   stream), making "depth order" == "owner index order" — the CUDA 64-bit
+   (tile | depth) radix key degenerates to a STABLE sort on the int32 tile
+   key alone. All per-Gaussian binning fields ride ONE packed (N, 8) gather.
+2. Expansion is two-level and EXACT: gaussians expand to (gaussian, tile
+   row) runs via a boundary-mark scatter + running cumsum, one row-rate
+   table gather computes each row's exact tile x-interval — the x-extent of
+   the alpha >= 1/255 sublevel ellipse clipped to the row's pixel strip, in
+   closed form — and a second mark/cumsum/gather expands rows to instances.
+   Unlike the CUDA duplicateWithKeys (bounding-SQUARE rect, typically 2-4x
+   overcount), every budgeted instance actually contributes; the budget is
+   spent on real work and rendered output is bit-identical (a dropped pair
+   fails the compositor's 1/255 skip in every pixel of its tile).
+3. Per-tile ranges are raw [start, end) offsets into the sorted stream — NO
+   chunk padding. The Pallas kernels mask boundary-chunk lanes instead, and
+   the backward accumulates chunks shared between adjacent tiles in a VMEM
+   carry block (the TPU grid is sequential, so no races).
+4. The backward's per-Gaussian reduction order (`gm_map`) comes from a
+   second 1-key sort of (owner, position); run boundaries are plain
+   arithmetic on the expansion cumsums (a searchsorted over the instance
+   stream costs ~70 ms — log(P) rounds of N-rate gathers).
 
 Everything here is integer bookkeeping under stop_gradient; gradients flow
-through the separately-gathered float instance data.
+through the separately-gathered float instance data (see composite.py).
 """
 
 from __future__ import annotations
@@ -27,148 +41,297 @@ import jax.numpy as jnp
 from jax import lax
 
 from gsjax.config import RasterConfig
-from gsjax.render.oracle import tile_rect
 
 
 @flax.struct.dataclass
 class Binning:
-    """Instance layout for one frame.
+    """Instance layout for one frame (all int32 except noted).
 
-    padded_gid: [P_PAD] int32 Gaussian index per padded instance slot;
-      `capacity` (== N, one past the last real row) marks padding.
-    chunk_start: [T] int32 first chunk index of each tile's range.
-    n_chunks: [T] int32 chunks owned by each tile.
-    num_instances: [] int32 true (unpadded, unclamped) pair count — if this
-      exceeds max_instances the frame overflowed the budget.
+    perm: [N] depth order -> original gaussian index.
+    sorted_owner: [P] DEPTH-ORDER gaussian index per sorted instance slot;
+      N (one past the last row) marks dead/overflow slots.
+    tile_start: [T+1] instance offsets per tile into the sorted stream
+      (tile t owns slots [tile_start[t], tile_start[t+1])).
+    gm_map: [P] stream positions grouped by owner (gaussian-major order);
+      owner o's instances occupy gm slots [gm_start[o], gm_start[o+1]).
+    gm_start: [N+1] run boundaries of the gm stream (dead/overflow slots
+      group past gm_start[N]).
+    num_instances: [] true (unclamped) EXACT pair count — if this exceeds
+      max_instances the frame overflowed the instance budget.
+    num_rows: [] true (unclamped) (gaussian, tile-row) run count — if this
+      exceeds max_rows the frame overflowed the row budget.
     """
 
-    padded_gid: jnp.ndarray
-    chunk_start: jnp.ndarray
-    n_chunks: jnp.ndarray
+    perm: jnp.ndarray
+    sorted_owner: jnp.ndarray
+    tile_start: jnp.ndarray
+    gm_map: jnp.ndarray
+    gm_start: jnp.ndarray
     num_instances: jnp.ndarray
-    # gm_pos: [P] int32 padded-stream position of each GAUSSIAN-MAJOR
-    # instance slot p (p_pad for dropped slots) — the inverse of the
-    # tile-sort permutation. The backward gathers per-instance gradients
-    # through it into contiguous per-Gaussian runs and reduces them with a
-    # cumsum + boundary differences (a scatter-add segment_sum costs ~20x
-    # more on TPU). gm_cum: [N] int32 inclusive cumsum of per-Gaussian
-    # instance counts (run boundaries; clamp to max_instances at use).
-    gm_pos: jnp.ndarray
-    gm_cum: jnp.ndarray
+    num_rows: jnp.ndarray
 
 
 def num_tiles(height: int, width: int, tile_size: int) -> tuple[int, int]:
     return -(-width // tile_size), -(-height // tile_size)
 
 
-def padded_capacity(max_instances: int, n_tiles: int, chunk: int) -> int:
-    """Static instance-stream capacity after per-tile chunk alignment."""
-    return max_instances + n_tiles * (chunk - 1)
+def depth_order(depth: jnp.ndarray) -> jnp.ndarray:
+    """Stable depth-ascending permutation (ties keep original index order,
+    like the CUDA radix sort)."""
+    n = depth.shape[0]
+    _, perm = lax.sort(
+        (lax.stop_gradient(depth), jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
+    )
+    return perm
+
+
+def tile_rect_ext(
+    mean_pix: jnp.ndarray,
+    ext: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    tile_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Inclusive-exclusive tile rectangle from per-axis extents, clamped to
+    the grid (the CUDA getRect helper, with the tight rect of
+    preprocess.Projected.ext). Returns (x0, y0, x1, y1) int32."""
+    mp = lax.stop_gradient(mean_pix)
+    x0 = jnp.clip((mp[:, 0] - ext[:, 0]) / tile_size, 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip((mp[:, 1] - ext[:, 1]) / tile_size, 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(
+        jnp.ceil((mp[:, 0] + ext[:, 0] + 1.0) / tile_size), 0, tiles_x
+    ).astype(jnp.int32)
+    y1 = jnp.clip(
+        jnp.ceil((mp[:, 1] + ext[:, 1] + 1.0) / tile_size), 0, tiles_y
+    ).astype(jnp.int32)
+    empty = (ext[:, 0] <= 0.0) | (ext[:, 1] <= 0.0)
+    x1 = jnp.where(empty, x0, x1)
+    y1 = jnp.where(empty, y0, y1)
+    return x0, y0, x1, y1
+
+
+def _qmin_over_rect(
+    dx0: jnp.ndarray,
+    dx1: jnp.ndarray,
+    dy0: jnp.ndarray,
+    dy1: jnp.ndarray,
+    ca: jnp.ndarray,
+    cb: jnp.ndarray,
+    cc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Minimum of q(d) = ca dx^2 + 2 cb dx dy + cc dy^2 over the axis-aligned
+    box [dx0,dx1] x [dy0,dy1] (box given relative to the Gaussian center).
+
+    Convex quadratic over a box: the min is either the unconstrained center
+    (0 if inside the box) or on one of the four edges, where the 1D
+    restriction minimizes in closed form with a clamp. Used by tests as the
+    per-tile cross-check of the row-interval expansion.
+    """
+    eps = 1e-12
+    clampx = lambda v: jnp.clip(v, dx0, dx1)
+    clampy = lambda v: jnp.clip(v, dy0, dy1)
+
+    def q(dx, dy):
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    safe_cc = jnp.maximum(cc, eps)
+    safe_ca = jnp.maximum(ca, eps)
+    q_left = q(dx0, clampy(-cb * dx0 / safe_cc))
+    q_right = q(dx1, clampy(-cb * dx1 / safe_cc))
+    q_bot = q(clampx(-cb * dy0 / safe_ca), dy0)
+    q_top = q(clampx(-cb * dy1 / safe_ca), dy1)
+    edge_min = jnp.minimum(jnp.minimum(q_left, q_right), jnp.minimum(q_bot, q_top))
+    inside = (dx0 <= 0.0) & (0.0 <= dx1) & (dy0 <= 0.0) & (0.0 <= dy1)
+    return jnp.where(inside, 0.0, edge_min)
+
+
+def _row_x_interval(
+    y0s: jnp.ndarray,
+    y1s: jnp.ndarray,
+    ca: jnp.ndarray,
+    cb: jnp.ndarray,
+    cc: jnp.ndarray,
+    qmax: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact x-extent of {d : q(d) <= qmax} clipped to the strip
+    dy in [y0s, y1s] (all relative to the Gaussian center).
+
+    The clipped region is convex; its x-projection [x_lo, x_hi] is attained
+    either at the ellipse's global x-extremes (dy* = -cb x / cc) or on the
+    strip edges — clamping dy* and re-solving the 1D quadratic gives the
+    closed form. Returns (x_lo, x_hi, nonempty).
+    """
+    eps = 1e-12
+    safe_ca = jnp.maximum(ca, eps)
+    safe_cc = jnp.maximum(cc, eps)
+    det = jnp.maximum(ca * cc - cb * cb, eps)
+    # The ellipse's dy span is [-y_span, y_span]; the feasible dy interval is
+    # its intersection with the strip (the x-optima must be clamped INTO it,
+    # or the 1D slice below has no real roots).
+    y_span = jnp.sqrt(jnp.maximum(qmax * safe_ca / det, 0.0))
+    lo_y = jnp.maximum(y0s, -y_span)
+    hi_y = jnp.minimum(y1s, y_span)
+    nonempty = lo_y <= hi_y
+    # Global x extreme of the ellipse and the dy at which it is attained.
+    x_star = jnp.sqrt(jnp.maximum(qmax * safe_cc / det, 0.0))
+    ys_hi = jnp.clip(-cb * x_star / safe_cc, lo_y, hi_y)
+    ys_lo = jnp.clip(cb * x_star / safe_cc, lo_y, hi_y)
+    # 1D slice at dy = ys: ca x^2 + 2 cb ys x + (cc ys^2 - qmax) <= 0.
+    disc_hi = qmax * safe_ca - det * ys_hi * ys_hi
+    disc_lo = qmax * safe_ca - det * ys_lo * ys_lo
+    x_hi = (-cb * ys_hi + jnp.sqrt(jnp.maximum(disc_hi, 0.0))) / safe_ca
+    x_lo = (-cb * ys_lo - jnp.sqrt(jnp.maximum(disc_lo, 0.0))) / safe_ca
+    return x_lo, x_hi, nonempty
+
+
+def _expand(start: jnp.ndarray, budget: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """owner[s] for each of `budget` slots given exclusive run starts:
+    boundary-mark scatter + running cumsum (among equal starts — zero-count
+    runs — the max index wins, which is the true owner). Returns (owner,
+    slot iota)."""
+    s = jnp.arange(budget, dtype=jnp.int32)
+    marks = jnp.zeros(budget, jnp.int32).at[start].add(1, mode="drop")
+    owner = jnp.cumsum(marks) - 1
+    return owner, s
 
 
 def bin_gaussians(
     mean_pix: jnp.ndarray,
     depth: jnp.ndarray,
-    radius: jnp.ndarray,
+    ext: jnp.ndarray,
+    conic: jnp.ndarray,
+    qmax: jnp.ndarray,
     height: int,
     width: int,
     cfg: RasterConfig,
 ) -> Binning:
-    """Build the chunk-aligned, depth-sorted instance layout.
+    """Build the depth-sorted, tile-grouped instance layout.
 
     Args:
       mean_pix: [N,2] continuous pixel centers (gradients stopped here).
       depth: [N] view-space z (sort key).
-      radius: [N] int32 pixel radius; 0 = skip.
+      ext: [N,2] tight pixel extents (0 = skip).
+      conic: [N,3] inverse 2D covariance (a, b, c).
+      qmax: [N] alpha-threshold level 2 ln(255 op).
       height/width: image dims (static).
       cfg: static rasterizer config.
     """
     mean_pix = lax.stop_gradient(mean_pix)
-    depth = lax.stop_gradient(depth)
-    n = radius.shape[0]
+    conic = lax.stop_gradient(conic)
+    ext = lax.stop_gradient(ext)
+    qmax = lax.stop_gradient(qmax)
+    n = depth.shape[0]
     tiles_x, tiles_y = num_tiles(height, width, cfg.tile_size)
     n_tiles = tiles_x * tiles_y
     P = cfg.max_instances
-    chunk = cfg.chunk
+    R = cfg.max_rows
+    ts = float(cfg.tile_size)
 
-    x0, y0, x1, y1 = tile_rect(mean_pix, radius, tiles_x, tiles_y, cfg.tile_size)
-    rect_w = x1 - x0
-    counts = rect_w * (y1 - y0)  # [N] int32
+    # --- depth-sort gaussians: one packed N-rate permute ---------------------
+    perm = depth_order(depth)
+    packed = jnp.concatenate(
+        [mean_pix, conic, ext, qmax[:, None]], axis=-1
+    )  # (N, 8)
+    packed = jnp.take(packed, perm, axis=0)
+    mp = packed[:, 0:2]
+    co = packed[:, 2:5]
+    ex = packed[:, 5:7]
+    qm = packed[:, 7]
 
-    cum = jnp.cumsum(counts)  # inclusive
-    start = cum - counts  # exclusive
-    total = cum[-1]
+    x0, y0, x1, y1 = tile_rect_ext(mp, ex, tiles_x, tiles_y, cfg.tile_size)
+    row_counts = y1 - y0  # [N]
+    rcum = jnp.cumsum(row_counts)
+    rstart = rcum - row_counts
+    total_rows = rcum[-1]
 
-    # --- instance expansion: boundary-mark cumsum ---------------------------
-    # owner[p] = the Gaussian whose [start, start+count) range contains slot
-    # p. searchsorted(cum, p) would cost O(P log N) sequential gather passes
-    # (~600 ms at 4M pairs on TPU); instead scatter a mark at every range
-    # start and take a running sum — among equal starts (zero-count rows)
-    # the true owner has the max index, which the cumsum yields.
-    p = jnp.arange(P, dtype=jnp.int32)
-    marks = jnp.zeros(P, jnp.int32).at[start].add(1, mode="drop")
-    owner = jnp.cumsum(marks) - 1  # [P]
-    valid = p < jnp.minimum(total, P)
-    g = jnp.clip(owner, 0, n - 1)
-
-    # One packed row-gather for all per-Gaussian fields consumed at
-    # instance rate (separate fancy-index gathers cost ~30 ms each at 4M).
-    # int32 values here are < 2^24, exact in f32.
-    table = jnp.stack(
+    # --- level 1: gaussians -> (gaussian, tile-row) runs ---------------------
+    rowner, r = _expand(rstart, R)
+    rvalid = r < jnp.minimum(total_rows, R)
+    rg = jnp.clip(rowner, 0, n - 1)
+    row_table = jnp.stack(
         [
-            start.astype(jnp.float32),
-            x0.astype(jnp.float32),
+            rstart.astype(jnp.float32),
             y0.astype(jnp.float32),
-            jnp.maximum(rect_w, 1).astype(jnp.float32),
-            depth,
+            x0.astype(jnp.float32),
+            x1.astype(jnp.float32),
+            mp[:, 0],
+            mp[:, 1],
+            co[:, 0],
+            co[:, 1],
+            co[:, 2],
+            qm,
         ],
         axis=-1,
-    )  # [N, 5]
-    tf = jnp.take(table, g, axis=0)  # [P, 5]
-    local = p - tf[:, 0].astype(jnp.int32)
-    rw = tf[:, 3].astype(jnp.int32)
-    tx = tf[:, 1].astype(jnp.int32) + local % rw
-    ty = tf[:, 2].astype(jnp.int32) + local // rw
-    tile = ty * tiles_x + tx
-    tile = jnp.where(valid, tile, n_tiles)  # sentinel sorts last
-    d = jnp.where(valid, tf[:, 4], jnp.inf)
-
-    # --- per-tile depth order (stable sort, like the CUDA radix sort) -------
-    # p rides along so the sort permutation can be inverted for the
-    # backward's gaussian-major gradient gather (gm_pos below).
-    sorted_tile, _, sorted_gid, sorted_pid = lax.sort(
-        (tile, d, g, p), num_keys=2, is_stable=True
+    )  # (N, 10)
+    rt = jnp.take(row_table, rg, axis=0)  # (R, 10)
+    ty = rt[:, 1].astype(jnp.int32) + (r - rt[:, 0].astype(jnp.int32))
+    # Exact x-interval of the alpha>=1/255 ellipse within this row's pixel
+    # strip [ty*ts, ty*ts + ts-1], relative to the center (mx, my).
+    y0s = ty.astype(jnp.float32) * ts - rt[:, 5]
+    x_lo, x_hi, nonempty = _row_x_interval(
+        y0s, y0s + (ts - 1.0), rt[:, 6], rt[:, 7], rt[:, 8], rt[:, 9]
     )
+    # Tiles tx whose pixel span [tx*ts, tx*ts + ts-1] meets [mx+x_lo, mx+x_hi],
+    # clamped to the (already grid-clamped) rect x bounds.
+    rx0 = jnp.ceil((rt[:, 4] + x_lo - (ts - 1.0)) / ts).astype(jnp.int32)
+    rx1 = jnp.floor((rt[:, 4] + x_hi) / ts).astype(jnp.int32) + 1
+    rx0 = jnp.maximum(rx0, rt[:, 2].astype(jnp.int32))
+    rx1 = jnp.minimum(rx1, rt[:, 3].astype(jnp.int32))
+    inst_counts = jnp.where(
+        rvalid & nonempty, jnp.maximum(rx1 - rx0, 0), 0
+    )  # [R]
+    tile_base = ty * tiles_x + rx0
 
-    # --- chunk-aligned padded layout -----------------------------------------
-    # Start of each tile's run inside the sorted stream; counts are run
-    # lengths (no scatter-add histogram needed).
-    sorted_start = jnp.searchsorted(
+    icum = jnp.cumsum(inst_counts)
+    istart = icum - inst_counts
+    total = icum[-1]
+
+    # --- level 2: rows -> instances ------------------------------------------
+    iowner, p = _expand(istart, P)
+    ivalid = p < jnp.minimum(total, P)
+    ir = jnp.clip(iowner, 0, R - 1)
+    inst_table = jnp.stack(
+        [
+            istart.astype(jnp.float32),
+            tile_base.astype(jnp.float32),
+            rg.astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (R, 3)
+    it = jnp.take(inst_table, ir, axis=0)  # (P, 3)
+    tile = it[:, 1].astype(jnp.int32) + (p - it[:, 0].astype(jnp.int32))
+    g = it[:, 2].astype(jnp.int32)
+    tile = jnp.where(ivalid, tile, n_tiles)  # sentinel sorts last
+
+    # --- group by tile: stable 1-key sort (depth order rides via owner) -----
+    sorted_tile, sorted_owner = lax.sort((tile, g), num_keys=1, is_stable=True)
+    sorted_owner = jnp.where(sorted_tile < n_tiles, sorted_owner, n)
+
+    tile_start = jnp.searchsorted(
         sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    tile_counts = sorted_start[1:] - sorted_start[:-1]
-    sorted_start = sorted_start[:n_tiles]
-    padded_counts = -(-tile_counts // chunk) * chunk
-    padded_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts)[:-1]]
-    )
 
-    p_pad = padded_capacity(P, n_tiles, chunk)
-    i = jnp.arange(P, dtype=jnp.int32)
-    st = jnp.clip(sorted_tile, 0, n_tiles - 1)
-    rank = i - sorted_start[st]
-    dst = padded_start[st] + rank
-    dst = jnp.where(sorted_tile < n_tiles, dst, p_pad)  # drop sentinels
-    padded_gid = jnp.full(p_pad, n, dtype=jnp.int32).at[dst].set(
-        sorted_gid, mode="drop"
-    )
-    gm_pos = jnp.zeros(P, dtype=jnp.int32).at[sorted_pid].set(dst)
+    # --- gaussian-major reduction order for the backward ---------------------
+    # Positions of the sorted stream grouped by owner; dead slots (owner == n)
+    # group at the end. A second 1-key sort beats building the inverse
+    # permutation with an instance-rate scatter (~2.5x). Run boundaries are
+    # arithmetic on the expansion cumsums: owner o's instances start at the
+    # instance offset of its first row (budget-clamped).
+    _, gm_map = lax.sort((sorted_owner, p), num_keys=1, is_stable=True)
+    row_of_owner = jnp.minimum(jnp.concatenate([rstart, rcum[-1:]]), R)
+    inst_of_row = jnp.concatenate([istart, icum[-1:]])  # [R+1]
+    gm_start = jnp.minimum(
+        jnp.take(inst_of_row, row_of_owner), P
+    ).astype(jnp.int32)
 
     return Binning(
-        padded_gid=padded_gid,
-        chunk_start=(padded_start // chunk).astype(jnp.int32),
-        n_chunks=(padded_counts // chunk).astype(jnp.int32),
+        perm=perm,
+        sorted_owner=sorted_owner,
+        tile_start=tile_start,
+        gm_map=gm_map,
+        gm_start=gm_start,
         num_instances=total,
-        gm_pos=gm_pos,
-        gm_cum=cum,
+        num_rows=total_rows,
     )

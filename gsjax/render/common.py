@@ -11,10 +11,18 @@ the constants' provenance). Design notes:
 * Compute layout: (PIX, K) — pixels on the sublane axis (tile_size^2 = 256),
   instances on the lane axis (chunk = 128). Instance fields arrive as (1, K)
   row slices of a (ROWS, K) block.
+* The instance stream is depth-sorted but NOT padded to per-tile chunk
+  boundaries; a chunk at a tile-range boundary carries foreign instances.
+  Every entry point takes a `lane_mask` (1, K) that zeroes them — folded
+  into the skip mask so foreign lanes produce no contribution, no
+  transmittance change, and (in the backward) exactly zero gradients.
 * The sequential front-to-back dependence within a chunk is vectorized with
   cumulative products in log space; `log(1 - alpha)` is safe because alpha
   is capped at 0.99. Cumulative sums are expressed as triangular matmuls —
   guaranteed lowerable in Pallas/Mosaic and MXU-fast.
+* Lane reductions (color accumulation, transmittance products) run on the
+  MXU as (PIX, K) x (K, c) contractions with bf16 hi/lo splits — a VPU
+  cross-lane reduction tree costs ~7 passes each and dominated the kernel.
 * Early-termination (`done`) masks are carried explicitly per pixel: a
   contribution that would push T below 1e-4 is skipped and the pixel never
   resumes, exactly like the CUDA persistent `done` flag.
@@ -26,7 +34,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-# Instance-stream row indices (the HBM layout is [ROWS, P_PAD]).
+# Instance-stream row indices (the HBM layout is [ROWS, P]).
 ROW_MX = 0  # mean x, continuous pixels
 ROW_MY = 1  # mean y
 ROW_CA = 2  # conic a (xx)
@@ -42,6 +50,13 @@ ROWS = 16  # padded to a multiple of 8 sublanes
 ALPHA_CAP = 0.99
 ALPHA_SKIP = 1.0 / 255.0
 T_EPS = 1e-4
+
+
+def _hi_lo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """bf16 split recovering ~f32 accuracy through MXU contractions."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _tri_cumsum(x: jnp.ndarray, exclusive: bool, exact_input: bool = False) -> jnp.ndarray:
@@ -70,19 +85,45 @@ def _tri_cumsum(x: jnp.ndarray, exclusive: bool, exact_input: bool = False) -> j
     return out
 
 
+def _lane_sums(channels: list[jnp.ndarray]) -> jnp.ndarray:
+    """Per-channel lane sums on the MXU: channels = [c x (PIX, K)] ->
+    (PIX, c) with column j = sum_k channels[j][p, k].
+
+    The channels are packed side by side on the lane axis and multiplied by
+    a block-diagonal 0/1 selector (exact in bf16); inputs are hi/lo split,
+    so the whole reduction is TWO (PIX, cK) x (cK, c) matmul launches —
+    Mosaic rejects lane-contracting dot_generals and a VPU cross-lane
+    reduction tree costs ~7 passes per channel.
+    """
+    c = len(channels)
+    k = channels[0].shape[-1]
+    x = jnp.concatenate(channels, axis=-1)  # (PIX, c*K)
+    rows = lax.broadcasted_iota(jnp.int32, (c * k, c), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (c * k, c), 1)
+    sel = jnp.where(rows // k == cols, 1.0, 0.0).astype(jnp.bfloat16)
+    hi, lo = _hi_lo(x)
+    return jnp.dot(hi, sel, preferred_element_type=jnp.float32) + jnp.dot(
+        lo, sel, preferred_element_type=jnp.float32
+    )
+
+
 def chunk_alpha(
-    inst: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
+    inst: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    lane_mask: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per (pixel, instance) alpha for one chunk.
 
     Args:
       inst: (ROWS, K) instance fields.
       px, py: (PIX, 1) pixel coordinates.
+      lane_mask: (1, K) f32 0/1 — 0 for lanes outside this tile's range.
 
     Returns:
       alpha: (PIX, K) capped, skip-masked alpha (straight-through cap grad).
       G: (PIX, K) the Gaussian falloff exp(power) (for opacity gradients).
-      keep: (PIX, K) f32 0/1 skip mask (stop-gradient).
+      keep: (PIX, K) f32 0/1 skip mask (stop-gradient; includes lane_mask).
     """
     mx = inst[ROW_MX : ROW_MX + 1, :]  # (1, K)
     my = inst[ROW_MY : ROW_MY + 1, :]
@@ -97,7 +138,7 @@ def chunk_alpha(
     raw = op * G
     capped = raw + lax.stop_gradient(jnp.minimum(ALPHA_CAP, raw) - raw)
     keep = lax.stop_gradient(
-        jnp.where((capped >= ALPHA_SKIP) & (power <= 0.0), 1.0, 0.0)
+        jnp.where((capped >= ALPHA_SKIP) & (power <= 0.0), lane_mask, 0.0)
     )
     return capped * keep, G, keep
 
@@ -108,6 +149,7 @@ def chunk_forward(
     py: jnp.ndarray,
     t_in: jnp.ndarray,
     done_in: jnp.ndarray,
+    lane_mask: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Composite one chunk of depth-ordered instances into a tile.
 
@@ -116,12 +158,13 @@ def chunk_forward(
       px, py: (PIX, 1) pixel coordinates.
       t_in: (PIX, 1) transmittance entering the chunk.
       done_in: (PIX, 1) f32 0/1 — pixel already terminated.
+      lane_mask: (1, K) f32 0/1 range mask.
 
     Returns:
       t_out: (PIX, 1), done_out: (PIX, 1), contrib: (PIX, 3) premultiplied
       color added by this chunk (background NOT composited here).
     """
-    alpha, _, _ = chunk_alpha(inst, px, py)
+    alpha, _, _ = chunk_alpha(inst, px, py, lane_mask)
     lg = jnp.log1p(-alpha)  # <= 0; alpha <= 0.99 keeps this finite
     cum_excl = _tri_cumsum(lg, exclusive=True)
     t_before = t_in * jnp.exp(cum_excl)  # (PIX, K) unmasked T before k
@@ -135,25 +178,25 @@ def chunk_forward(
     )
     live = 1.0 - skip  # (PIX, K)
     w = alpha * t_before * live  # contribution weights
-    contrib = jnp.concatenate(
-        [
-            jnp.sum(w * inst[ch : ch + 1, :], axis=-1, keepdims=True)
-            for ch in (ROW_R, ROW_G, ROW_B)
-        ],
-        axis=-1,
-    )  # (PIX, 3) — lane reductions on the VPU keep this exact in f32
-    t_out = t_in * jnp.exp(jnp.sum(lg * live, axis=-1, keepdims=True))
-    done_out = lax.stop_gradient(jnp.maximum(done_in, jnp.max(test, axis=-1, keepdims=True)))
+    c3 = inst[ROW_R : ROW_B + 1, :]  # (3, K)
+    sums = _lane_sums(
+        [w * c3[0:1, :], w * c3[1:2, :], w * c3[2:3, :], lg * live]
+    )  # (PIX, 4): premultiplied rgb + log-transmittance
+    contrib = sums[:, :3]
+    t_out = t_in * jnp.exp(sums[:, 3:4])
+    # skip's last lane == done_in OR any termination in this chunk.
+    done_out = lax.stop_gradient(skip[:, -1:])
     return t_out, done_out, contrib
 
 
-def _moment_basis(px: jnp.ndarray, py: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+def moment_basis(px: jnp.ndarray, py: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     """Tile-centered pixel moment basis for the backward's MXU reductions.
 
     Returns (m [6, PIX] bf16, cx, cy). Centered coordinates px' = px - cx
     take values k+0.5 with |k| < tile_size/2, so px', py', and their
     products up to degree 2 are EXACT in bf16 — the moment matmul loses no
-    precision on the basis side.
+    precision on the basis side. Tile-invariant: compute ONCE per tile,
+    outside the chunk loop.
     """
     cx = 0.5 * (jnp.max(px) + jnp.min(px))
     cy = 0.5 * (jnp.max(py) + jnp.min(py))
@@ -177,7 +220,9 @@ def chunk_backward(
     t_final: jnp.ndarray,
     d_color: jnp.ndarray,
     d_tfinal: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    lane_mask: jnp.ndarray,
+    basis: tuple[jnp.ndarray, ...],
+) -> tuple[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Per-instance gradients for one chunk, via forward-order replay.
 
     Closed-form over the suffix: for instance k with weight w_k = a_k T_k,
@@ -195,13 +240,14 @@ def chunk_backward(
       t_final: (PIX, 1) full-tile final transmittance.
       d_color: (PIX, 3) cotangent of the tile color.
       d_tfinal: (PIX, 1) cotangent of the tile transmittance.
+      lane_mask: (1, K) f32 0/1 range mask (foreign lanes -> zero grads).
+      basis: moment_basis(px, py), hoisted out of the chunk loop.
 
     Returns:
       (t_out, done_out, prefix_out) replay state, and grads (ROWS, K) with
       rows [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop].
     """
-    pix = px.shape[0]
-    alpha, G, keep = chunk_alpha(inst, px, py)
+    alpha, G, keep = chunk_alpha(inst, px, py, lane_mask)
     lg = jnp.log1p(-alpha)
     cum_excl = _tri_cumsum(lg, exclusive=True)
     t_before = t_in * jnp.exp(cum_excl)
@@ -212,11 +258,10 @@ def chunk_backward(
     live = 1.0 - skip
     w = alpha * t_before * live  # (PIX, K)
 
-    # dL/dc_k[ch] = sum_px w * dC_ch -> (3, K): one hi/lo MXU matmul over
+    # dL/dc_k[ch] = sum_px w * dC_ch -> (3, K): one hi/lo MXU contraction over
     # pixels (dC split exactly; w rounded to bf16).
     dct = d_color.T  # (3, PIX)
-    dct_hi = dct.astype(jnp.bfloat16)
-    dct_lo = (dct - dct_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dct_hi, dct_lo = _hi_lo(dct)
     d_colors = jnp.dot(
         jnp.concatenate([dct_hi, dct_lo], axis=0),
         w.astype(jnp.bfloat16),
@@ -225,11 +270,10 @@ def chunk_backward(
     d_colors = d_colors[:3] + d_colors[3:]  # (3, K)
 
     # suffix_k = C_total - prefix_in - cum_wc_k per channel. Since cumsum is
-    # LINEAR, the channel sum Σ_ch dC_ch · cum(wc_ch) equals cum(w · s) with
-    # s = Σ_ch dC_ch c_ch — ONE triangular matmul instead of three (the
-    # kernel is MXU-launch-bound, so dot count is the dominant cost):
-    #   d_alpha = s·T_k - (A - cum_incl(w·s)) / (1-α),
-    #   A = Σ_ch dC_ch (C_total - prefix_in)_ch.
+    # LINEAR, the channel sum over dC of cum(wc) equals cum(w * s) with
+    # s = sum_ch dC_ch c_ch — ONE triangular matmul instead of three:
+    #   d_alpha = s*T_k - (A - cum_incl(w*s)) / (1-alpha),
+    #   A = sum_ch dC_ch (C_total - prefix_in)_ch.
     c3 = inst[ROW_R : ROW_B + 1, :]  # (3, K)
     s = (
         d_color[:, 0:1] * c3[0:1, :]
@@ -241,13 +285,10 @@ def chunk_backward(
     A = jnp.sum(d_color * (c_total - prefix_in), axis=-1, keepdims=True)  # (PIX,1)
     one_minus = 1.0 - alpha
     d_alpha = s * t_before - (A - cum_u) / one_minus
-    prefix_out = prefix_in + jnp.concatenate(
-        [
-            jnp.sum(w * c3[ch : ch + 1, :], axis=-1, keepdims=True)
-            for ch in range(3)
-        ],
-        axis=-1,
-    )
+    sums = _lane_sums(
+        [w * c3[0:1, :], w * c3[1:2, :], w * c3[2:3, :], lg * live]
+    )  # (PIX, 4)
+    prefix_out = prefix_in + sums[:, :3]
     d_alpha = d_alpha - d_tfinal * t_final / one_minus
     d_alpha = d_alpha * live  # skipped instances get no gradient
 
@@ -259,7 +300,7 @@ def chunk_backward(
     # six sublane-reduction trees (the kernel's dominant cost).
     op = inst[ROW_OP : ROW_OP + 1, :]
     q = G * d_alpha * keep  # (PIX, K)
-    m, cx, cy = _moment_basis(px, py)
+    m, cx, cy = basis
     mq = jnp.dot(m, q.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     s0 = mq[0:1, :]
     sx = mq[1:2, :]
@@ -304,8 +345,8 @@ def chunk_backward(
     )  # (ROWS, K)
 
     # Replay state for the next chunk.
-    t_out = t_in * jnp.exp(jnp.sum(lg * live, axis=-1, keepdims=True))
-    done_out = jnp.maximum(done_in, jnp.max(test, axis=-1, keepdims=True))
+    t_out = t_in * jnp.exp(sums[:, 3:4])
+    done_out = skip[:, -1:]
     return (t_out, done_out, prefix_out), grads
 
 
@@ -326,24 +367,17 @@ def tile_pixel_coords(
 
 
 def build_inst_data(
-    mean_pix: jnp.ndarray,
-    conic: jnp.ndarray,
-    rgb: jnp.ndarray,
-    opacity: jnp.ndarray,
-    padded_gid: jnp.ndarray,
+    fields: jnp.ndarray,
+    sorted_owner: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Gather per-Gaussian fields into the depth-sorted padded instance
-    stream. Returns (ROWS, P_PAD) f32; sentinel slots (gid == N) become a
-    zero row whose opacity 0 makes them no-ops.
+    """Gather DEPTH-ORDERED packed per-Gaussian fields [N, N_FIELDS] into
+    the tile-sorted instance stream. Returns (ROWS, P) f32; dead slots
+    (owner == N) become a zero row whose opacity 0 makes them no-ops.
     """
-    n = mean_pix.shape[0]
-    fields = jnp.concatenate(
-        [mean_pix, conic, rgb, opacity.reshape(-1, 1)], axis=-1
-    )  # (N, N_FIELDS)
     fields = jnp.pad(fields, ((0, 1), (0, ROWS - N_FIELDS)))  # sentinel row
     # Row gather (contiguous 64B rows — far faster than a lane-axis gather
     # at instance rate), then one bulk transpose to the kernel layout.
-    inst_rows = jnp.take(fields, padded_gid, axis=0)  # (P_PAD, ROWS)
+    inst_rows = jnp.take(fields, sorted_owner, axis=0)  # (P, ROWS)
     return inst_rows.T
 
 

@@ -2,17 +2,23 @@
 renderCUDA forward/backward equivalents, redesigned for the TPU memory
 hierarchy).
 
-Forward: grid over tiles; each grid step walks its tile's depth-sorted
-instance chunks, double-buffering HBM->VMEM DMAs of (ROWS, CHUNK) blocks and
-compositing with the vectorized chunk_forward math (pixels on sublanes,
-instances on lanes; in-chunk sequential dependence via log-space cumulative
-products on the MXU).
+Forward: grid over tiles; each grid step walks the depth-sorted instance
+stream chunks overlapping its tile's [start, end) range, double-buffering
+HBM->VMEM DMAs of (ROWS, CHUNK) blocks and compositing with the vectorized
+chunk_forward math (pixels on sublanes, instances on lanes; in-chunk
+sequential dependence via log-space cumulative products on the MXU). The
+stream is NOT padded to chunk boundaries: range-edge chunks carry foreign
+instances which a lane mask zeroes.
 
 Backward: same walk, forward-order replay. Per-instance gradients follow the
 closed-form suffix algebra of chunk_backward (no saved per-chunk state; only
-the forward's per-tile outputs are consumed) and are DMA'd to a (ROWS, P_PAD)
-HBM stream, where each chunk is owned by exactly one tile — no races, no
-atomics. The caller segment-sums instance grads to per-Gaussian grads.
+the forward's per-tile outputs are consumed) and are DMA'd to a (ROWS, P)
+HBM stream. A chunk straddling a tile boundary is produced by SEVERAL grid
+steps; because the TPU grid is sequential, a VMEM carry block accumulates
+those partial (lane-masked, hence disjoint) contributions and flushes a
+chunk only when the walk moves past it — no read-modify-write, no races.
+The caller segment-sums instance grads to per-Gaussian grads (see
+composite.py).
 """
 
 from __future__ import annotations
@@ -25,13 +31,31 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gsjax.render.common import ROWS, chunk_backward, chunk_forward, tile_pixel_coords
+from gsjax.render.common import (
+    ROWS,
+    chunk_backward,
+    chunk_forward,
+    moment_basis,
+    tile_pixel_coords,
+)
+
+
+def _chunk_range(i0, i1, chunk):
+    """First chunk index and chunk count covering stream range [i0, i1)."""
+    c0 = i0 // chunk
+    n = jnp.where(i1 > i0, (i1 + chunk - 1) // chunk - c0, 0)
+    return c0, n
+
+
+def _lane_mask(c0, j, i0, i1, chunk):
+    """(1, chunk) f32 mask of lanes of chunk c0+j inside [i0, i1)."""
+    idx = (c0 + j) * chunk + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    return jnp.where((idx >= i0) & (idx < i1), 1.0, 0.0)
 
 
 def _fwd_kernel(
     # scalar prefetch
-    chunk_start_ref,
-    n_chunks_ref,
+    tile_start_ref,
     # inputs
     inst_hbm,
     # outputs
@@ -46,15 +70,17 @@ def _fwd_kernel(
     chunk: int,
 ):
     t = pl.program_id(0)
-    base = chunk_start_ref[t]
-    n = n_chunks_ref[t]
+    i0 = tile_start_ref[t]
+    i1 = tile_start_ref[t + 1]
+    c0, n = _chunk_range(i0, i1, chunk)
     pix = tile_size * tile_size
     px, py = tile_pixel_coords(t, tiles_x, tile_size)
 
     def get_dma(slot, j):
-        off = (base + j) * chunk
         return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(off, chunk)], inst_vmem.at[slot], sems.at[slot]
+            inst_hbm.at[:, pl.ds((c0 + j) * chunk, chunk)],
+            inst_vmem.at[slot],
+            sems.at[slot],
         )
 
     @pl.when(n > 0)
@@ -76,7 +102,8 @@ def _fwd_kernel(
 
         get_dma(slot, j).wait()
         inst = inst_vmem[slot]
-        t_out, done_out, contrib = chunk_forward(inst, px, py, t_in, done_in)
+        mask = _lane_mask(c0, j, i0, i1, chunk)
+        t_out, done_out, contrib = chunk_forward(inst, px, py, t_in, done_in, mask)
         return (t_out, done_out, acc + contrib)
 
     init = (
@@ -94,8 +121,7 @@ def _fwd_kernel(
 )
 def composite_forward_pallas(
     inst_data: jnp.ndarray,
-    chunk_start: jnp.ndarray,
-    n_chunks: jnp.ndarray,
+    tile_start: jnp.ndarray,
     *,
     n_tiles: int,
     tiles_x: int,
@@ -106,7 +132,7 @@ def composite_forward_pallas(
     """Returns (tile_color [T, PIX, 3], tile_t [T, PIX, 1])."""
     pix = tile_size * tile_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -132,16 +158,15 @@ def composite_forward_pallas(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(chunk_start, n_chunks, inst_data)
+    )(tile_start, inst_data)
 
 
 def _bwd_kernel(
     # scalar prefetch
-    chunk_start_ref,
-    n_chunks_ref,
+    tile_start_ref,
     # inputs
     inst_hbm,
-    zeros_hbm,  # aliased to grads_hbm: pre-zeroed for early-exited chunks
+    zeros_hbm,  # aliased to grads_hbm: pre-zeroed for never-walked chunks
     color_ref,
     t_ref,
     d_color_ref,
@@ -150,9 +175,11 @@ def _bwd_kernel(
     grads_hbm,
     # scratch
     inst_vmem,
-    grad_vmem,
+    carry_vmem,
+    flush_vmem,
     read_sems,
     write_sems,
+    carry_smem,
     *,
     tiles_x: int,
     tile_size: int,
@@ -160,10 +187,20 @@ def _bwd_kernel(
 ):
     del zeros_hbm
     t = pl.program_id(0)
-    base = chunk_start_ref[t]
-    n = n_chunks_ref[t]
-    pix = tile_size * tile_size
+    last_t = pl.num_programs(0) - 1
+    i0 = tile_start_ref[t]
+    i1 = tile_start_ref[t + 1]
+    c0, n = _chunk_range(i0, i1, chunk)
     px, py = tile_pixel_coords(t, tiles_x, tile_size)
+    basis = moment_basis(px, py)
+    pix = tile_size * tile_size
+
+    # carry_smem: [0] = chunk index held in carry_vmem (-1 none);
+    #             [1] = flush counter (for staging-slot rotation).
+    @pl.when(t == 0)
+    def _():
+        carry_smem[0] = -1
+        carry_smem[1] = 0
 
     c_total = color_ref[0]  # (PIX, 3)
     t_final = t_ref[0]  # (PIX, 1)
@@ -171,16 +208,31 @@ def _bwd_kernel(
     d_tfinal = d_t_ref[0]  # (PIX, 1)
 
     def read_dma(slot, j):
-        off = (base + j) * chunk
         return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(off, chunk)], inst_vmem.at[slot], read_sems.at[slot]
+            inst_hbm.at[:, pl.ds((c0 + j) * chunk, chunk)],
+            inst_vmem.at[slot],
+            read_sems.at[slot],
         )
 
-    def write_dma(slot, j):
-        off = (base + j) * chunk
+    def write_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            grad_vmem.at[slot], grads_hbm.at[:, pl.ds(off, chunk)], write_sems.at[slot]
+            flush_vmem.at[slot],
+            grads_hbm.at[:, pl.ds(chunk_idx * chunk, chunk)],
+            write_sems.at[slot],
         )
+
+    def flush_carry():
+        """Stage the carry block and DMA it to its chunk's stream slot."""
+        count = carry_smem[1]
+        slot = count % 2
+
+        @pl.when(count >= 2)
+        def _():
+            write_dma(slot, 0).wait()  # chunk idx irrelevant for wait
+
+        flush_vmem[slot] = carry_vmem[:]
+        write_dma(slot, carry_smem[0]).start()
+        carry_smem[1] = count + 1
 
     @pl.when(n > 0)
     def _():
@@ -191,23 +243,35 @@ def _bwd_kernel(
     def body(j, carry):
         t_in, done_in, prefix = carry
         slot = j % 2
+        chunk_idx = c0 + j
 
         @pl.when(j + 1 < n)
         def _():
             read_dma((j + 1) % 2, j + 1).start()
 
         read_dma(slot, j).wait()
-        # Before overwriting this staging slot, drain its in-flight write.
-        @pl.when(j >= 2)
-        def _():
-            write_dma(slot, j - 2).wait()
-
         inst = inst_vmem[slot]
+        mask = _lane_mask(c0, j, i0, i1, chunk)
         (t_out, done_out, prefix_out), grads = chunk_backward(
-            inst, px, py, t_in, done_in, prefix, c_total, t_final, d_color, d_tfinal
+            inst, px, py, t_in, done_in, prefix,
+            c_total, t_final, d_color, d_tfinal, mask, basis,
         )
-        grad_vmem[slot] = grads
-        write_dma(slot, j).start()
+
+        held = carry_smem[0]
+
+        @pl.when(chunk_idx == held)
+        def _():
+            carry_vmem[:] = carry_vmem[:] + grads
+
+        @pl.when(chunk_idx != held)
+        def _():
+            @pl.when(held >= 0)
+            def _():
+                flush_carry()
+
+            carry_vmem[:] = grads
+            carry_smem[0] = chunk_idx
+
         return (t_out, done_out, prefix_out)
 
     init = (
@@ -217,14 +281,22 @@ def _bwd_kernel(
     )
     lax.fori_loop(0, n, body, init)
 
-    # Drain outstanding gradient writes.
-    @pl.when(n >= 2)
+    # Final grid step: flush the last held chunk and drain all writes.
+    @pl.when(t == last_t)
     def _():
-        write_dma(n % 2, n - 2).wait()
+        @pl.when(carry_smem[0] >= 0)
+        def _():
+            flush_carry()
 
-    @pl.when(n >= 1)
-    def _():
-        write_dma((n - 1) % 2, n - 1).wait()
+        count = carry_smem[1]
+
+        @pl.when(count >= 2)
+        def _():
+            write_dma(count % 2, 0).wait()
+
+        @pl.when(count >= 1)
+        def _():
+            write_dma((count - 1) % 2, 0).wait()
 
 
 @functools.partial(
@@ -232,8 +304,7 @@ def _bwd_kernel(
 )
 def composite_backward_pallas(
     inst_data: jnp.ndarray,
-    chunk_start: jnp.ndarray,
-    n_chunks: jnp.ndarray,
+    tile_start: jnp.ndarray,
     tile_color: jnp.ndarray,
     tile_t: jnp.ndarray,
     d_tile_color: jnp.ndarray,
@@ -245,11 +316,11 @@ def composite_backward_pallas(
     chunk: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns per-instance gradients (ROWS, P_PAD); rows as in common.py."""
+    """Returns per-instance gradients (ROWS, P); rows as in common.py."""
     pix = tile_size * tile_size
-    p_pad = inst_data.shape[1]
+    p = inst_data.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -262,33 +333,32 @@ def composite_backward_pallas(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, chunk), jnp.float32),
+            pltpu.VMEM((ROWS, chunk), jnp.float32),
             pltpu.VMEM((2, ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, tile_size=tile_size, chunk=chunk
     )
-    # The grad stream is aliased to a zeros input: every chunk belonging to
-    # a tile is written by the kernel, but the padded stream's unowned tail
-    # slots are not — their rows must read back zero rather than garbage
-    # for the caller's segment-sum (sentinel rows are dropped, but keeping
-    # the buffer defined costs one cheap memset and removes the hazard).
-    zeros = jnp.zeros((ROWS, p_pad), jnp.float32)
+    # The grad stream is aliased to a zeros input: chunks past the live
+    # stream (dead/sentinel slots) are never walked by any tile and must
+    # read back zero for the caller's segment-sum.
+    zeros = jnp.zeros((ROWS, p), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((ROWS, p_pad), jnp.float32)],
-        input_output_aliases={3: 0},
+        out_shape=[jax.ShapeDtypeStruct((ROWS, p), jnp.float32)],
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
         ),
         interpret=interpret,
     )(
-        chunk_start,
-        n_chunks,
+        tile_start,
         inst_data,
         zeros,
         tile_color,

@@ -1,10 +1,9 @@
 """Pure-JAX tiled compositor — the portable twin of the Pallas kernels.
 
-Runs the exact chunk_forward math as a lax.scan over the padded chunk
-stream, carrying per-tile (T, done, color) state tables. Differentiable by
-autodiff (which matches the hand-written Pallas backward by construction —
-see chunk_backward's derivation). Used for CPU tests, as the fallback on
-non-TPU backends, and as the numerical cross-check for the kernels.
+Runs the exact chunk_forward math (including the unpadded-range lane masks)
+as a lax.scan over tiles with an inner fori_loop over each tile's chunk
+window, mirroring the forward kernel's walk step for step. Forward-only;
+used for CPU tests as the numerical cross-check for the kernels.
 """
 
 from __future__ import annotations
@@ -24,11 +23,11 @@ def composite_tiles_jax(
     tile_size: int,
     chunk: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Composite the padded instance stream into per-tile buffers.
+    """Composite the depth-sorted instance stream into per-tile buffers.
 
     Args:
-      inst_data: (ROWS, P_PAD) gathered instance fields (see common.py).
-      binning: chunk layout; chunks of a tile are consecutive in the stream.
+      inst_data: (ROWS, P) gathered instance fields (see common.py).
+      binning: instance layout (tile_start ranges).
       n_tiles/tiles_x/tile_size/chunk: static geometry.
 
     Returns:
@@ -36,41 +35,40 @@ def composite_tiles_jax(
       tile_t: [n_tiles, PIX] final transmittance.
     """
     pix = tile_size * tile_size
-    nc_total = inst_data.shape[1] // chunk
-    cum = jnp.cumsum(binning.n_chunks)
-    c_idx = jnp.arange(nc_total, dtype=jnp.int32)
-    owner = jnp.searchsorted(cum, c_idx, side="right").astype(jnp.int32)
-    owner = jnp.where(c_idx < cum[-1], owner, n_tiles)  # dummy state row
-
-    # Per-tile pixel coordinates, precomputed for all tiles: [n_tiles+1, PIX, 1]
-    t_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    tx = t_ids % tiles_x
-    ty = t_ids // tiles_x  # dummy row (t == n_tiles) coords are irrelevant
+    tile_start = binning.tile_start
     pidx = jnp.arange(pix, dtype=jnp.int32)
-    px_all = (tx[:, None] * tile_size + pidx[None, :] % tile_size).astype(jnp.float32)
-    py_all = (ty[:, None] * tile_size + pidx[None, :] // tile_size).astype(jnp.float32)
 
-    t_tab = jnp.ones((n_tiles + 1, pix), jnp.float32)
-    d_tab = jnp.zeros((n_tiles + 1, pix), jnp.float32)
-    c_tab = jnp.zeros((n_tiles + 1, pix, 3), jnp.float32)
+    def tile_step(_, t):
+        i0 = tile_start[t]
+        i1 = tile_start[t + 1]
+        c0 = i0 // chunk
+        n = jnp.where(i1 > i0, (i1 + chunk - 1) // chunk - c0, 0)
+        tx = t % tiles_x
+        ty = t // tiles_x
+        px = (tx * tile_size + pidx % tile_size).astype(jnp.float32)[:, None]
+        py = (ty * tile_size + pidx // tile_size).astype(jnp.float32)[:, None]
 
-    def step(carry, c):
-        t_tab, d_tab, c_tab = carry
-        t = owner[c]
-        inst = lax.dynamic_slice(
-            inst_data, (0, c * chunk), (inst_data.shape[0], chunk)
+        def body(j, carry):
+            t_in, done_in, acc = carry
+            inst = lax.dynamic_slice(
+                inst_data, (0, (c0 + j) * chunk), (inst_data.shape[0], chunk)
+            )
+            idx = (c0 + j) * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+            mask = jnp.where((idx >= i0) & (idx < i1), 1.0, 0.0)
+            t_out, done_out, contrib = chunk_forward(
+                inst, px, py, t_in, done_in, mask
+            )
+            return (t_out, done_out, acc + contrib)
+
+        init = (
+            jnp.ones((pix, 1), jnp.float32),
+            jnp.zeros((pix, 1), jnp.float32),
+            jnp.zeros((pix, 3), jnp.float32),
         )
-        t_in = t_tab[t][:, None]
-        done_in = d_tab[t][:, None]
-        px = px_all[t][:, None]
-        py = py_all[t][:, None]
-        t_out, done_out, contrib = chunk_forward(inst, px, py, t_in, done_in)
-        t_tab = t_tab.at[t].set(t_out[:, 0])
-        d_tab = d_tab.at[t].set(done_out[:, 0])
-        c_tab = c_tab.at[t].add(contrib)
-        return (t_tab, d_tab, c_tab), None
+        t_fin, _, acc = lax.fori_loop(0, n, body, init)
+        return None, (acc, t_fin[:, 0])
 
-    (t_tab, _, c_tab), _ = lax.scan(
-        step, (t_tab, d_tab, c_tab), jnp.arange(nc_total, dtype=jnp.int32)
+    _, (tile_color, tile_t) = lax.scan(
+        tile_step, None, jnp.arange(n_tiles, dtype=jnp.int32)
     )
-    return c_tab[:n_tiles], t_tab[:n_tiles]
+    return tile_color, tile_t

@@ -1,0 +1,137 @@
+"""Stage-by-stage wall-clock breakdown of the 1080p/500k fwd+bwd step.
+
+Times each pipeline stage in isolation by dispatching ITERS independent
+copies and fencing with a D2H read of the last output (block_until_ready
+returns early on tunneled-TPU platforms). Working profiling tool, not a test.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsjax.config import RasterConfig
+from gsjax.render.api import render
+from gsjax.render.binning import bin_gaussians, num_tiles
+from gsjax.render.common import build_inst_data
+from gsjax.render.composite import CompositeStatic
+from gsjax.render.pallas_kernels import (
+    composite_backward_pallas,
+    composite_forward_pallas,
+)
+from gsjax.render.preprocess import preprocess
+from gsjax.synthetic import look_at_origin_camera, random_scene
+from gsjax.train.loss import l1_loss
+
+WIDTH, HEIGHT = 1920, 1080
+N = 500_000
+SH_DEGREE = 3
+ITERS = 30
+BUDGET = 2 ** 21
+
+
+def timeit(name, fn, *args, fence=None):
+    out = fn(*args)
+    _ = np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[:1]))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    leaf = fence(out) if fence else jax.tree.leaves(out)[0]
+    _ = np.asarray(jax.device_get(leaf.ravel()[:1]))
+    dt = (time.perf_counter() - t0) / ITERS * 1000
+    print(f"{name:34s} {dt:9.2f} ms", flush=True)
+    return out
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    params, aux = random_scene(
+        N, capacity=N, sh_degree=SH_DEGREE, seed=0, spread=2.5,
+        scale_range=(0.004, 0.03),
+    )
+    camera = look_at_origin_camera(width=WIDTH, height=HEIGHT)
+    cfg = RasterConfig(max_instances=BUDGET, interpret=not on_tpu)
+    bg = jnp.zeros(3, jnp.float32)
+    gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
+    alive = aux.alive
+    offset = jnp.zeros((N, 2), jnp.float32)
+
+    def loss_fn(p, off):
+        out = render(p, camera, active_sh_degree=SH_DEGREE, bg_color=bg,
+                     cfg=cfg, alive=alive, mean2d_offset=off)
+        return l1_loss(out.image, gt)
+
+    step = jax.jit(lambda p, off: jax.value_and_grad(loss_fn, argnums=(0, 1))(p, off))
+    timeit("FULL fwd+bwd step", step, params, offset, fence=lambda o: o[0])
+
+    fwd_only = jax.jit(loss_fn)
+    timeit("FULL fwd only", fwd_only, params, offset, fence=lambda o: o)
+
+    pre = jax.jit(lambda p, off: preprocess(
+        xyz=p.xyz, sh=p.get_features(), opacity=p.get_opacity(),
+        scaling=p.get_scaling(), rotation=p.rotation, camera=camera,
+        active_sh_degree=SH_DEGREE, scaling_modifier=1.0,
+        mean2d_offset=off, alive=alive))
+    proj = timeit("preprocess (fwd)", pre, params, offset)
+
+    def pre_loss(p, off):
+        pr = pre(p, off)
+        return (jnp.sum(pr.mean_pix) + jnp.sum(pr.conic) + jnp.sum(pr.rgb)
+                + jnp.sum(pr.opacity) + jnp.sum(pr.depth))
+    pre_grad = jax.jit(jax.grad(pre_loss, argnums=(0, 1)))
+    timeit("preprocess fwd+bwd", pre_grad, params, offset, fence=lambda o: o[1])
+
+    binf = jax.jit(lambda mp, d, e, c, q: bin_gaussians(mp, d, e, c, q, HEIGHT, WIDTH, cfg))
+    binning = timeit("binning", binf, proj.mean_pix, proj.depth, proj.ext,
+                     proj.conic, proj.qmax, fence=lambda b: b.sorted_owner)
+
+    from gsjax.render.composite import pack_fields
+
+    gather = jax.jit(lambda mp, c, rgb, op, so, perm: build_inst_data(
+        jnp.take(pack_fields(mp, c, rgb, op), perm, axis=0), so))
+    inst = timeit("permute+build_inst_data", gather, proj.mean_pix, proj.conic,
+                  proj.rgb, proj.opacity, binning.sorted_owner, binning.perm)
+
+    tiles_x, tiles_y = num_tiles(HEIGHT, WIDTH, cfg.tile_size)
+    static = CompositeStatic(n_tiles=tiles_x * tiles_y, tiles_x=tiles_x,
+                             tile_size=cfg.tile_size, chunk=cfg.chunk,
+                             interpret=cfg.interpret)
+
+    fwdk = jax.jit(lambda i, ts: composite_forward_pallas(
+        i, ts, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
+        tile_size=static.tile_size, chunk=static.chunk, interpret=static.interpret))
+    tc, tt3 = timeit("composite fwd kernel", fwdk, inst, binning.tile_start,
+                     fence=lambda o: o[0])
+
+    dtc = jnp.ones_like(tc)
+    dtt = jnp.ones_like(tt3)
+    bwdk = jax.jit(lambda i, ts, c, t, dc, dt: composite_backward_pallas(
+        i, ts, c, t, dc, dt, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
+        tile_size=static.tile_size, chunk=static.chunk, interpret=static.interpret))
+    ig = timeit("composite bwd kernel", bwdk, inst, binning.tile_start,
+                tc, tt3, dtc, dtt)
+
+    def reduce_grads(inst_grads, gm_map, gm_start):
+        gm = jnp.take(inst_grads.T, gm_map, axis=0)
+        csum = jnp.cumsum(gm, axis=0)
+        P = gm.shape[0]
+        start = gm_start[:-1]
+        end = gm_start[1:]
+        c_end = jnp.take(csum, jnp.clip(end - 1, 0, P - 1), axis=0)
+        c_start = jnp.take(csum, jnp.clip(start - 1, 0, P - 1), axis=0)
+        return jnp.where((end > start)[:, None],
+                         c_end - jnp.where((start > 0)[:, None], c_start, 0.0), 0.0)
+    red = jax.jit(reduce_grads)
+    timeit("grad reduction", red, ig, binning.gm_map, binning.gm_start)
+
+    n_inst = int(binning.num_instances)
+    live = int(np.asarray(binning.tile_start)[-1])
+    print(f"\nrect instances: {n_inst} (budget {cfg.max_instances}); "
+          f"live after exact cull: {live}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,10 @@
-"""Unit tests for the tile-binning layout (gather expansion, sort, padding).
+"""Unit tests for the tile-binning layout (depth-major expansion, tile
+grouping, exact cull, gaussian-major reduction order).
 
-The mark-cumsum expansion must reproduce exactly what a searchsorted-based
-reference produces, including zero-count Gaussians between live ones and
-budget overflow."""
+The mark-cumsum expansion + stable tile sort must reproduce exactly what a
+brute-force python binning produces, including zero-count Gaussians between
+live ones and budget overflow (slots assigned depth-major; overflow drops
+the deepest instances)."""
 
 from __future__ import annotations
 
@@ -11,44 +13,68 @@ import numpy as np
 import pytest
 
 from gsjax.config import RasterConfig
-from gsjax.render.binning import bin_gaussians, num_tiles, padded_capacity
+from gsjax.render.binning import (
+    bin_gaussians,
+    num_tiles,
+    tile_rect_ext,
+    _qmin_over_rect,
+)
+
+BIG_Q = 1e9  # disables the exact cull (qmin <= qmax always)
+TINY_CONIC = np.array([1e-9, 0.0, 1e-9], np.float32)
 
 
-def reference_layout(mean_pix, depth, radius, h, w, cfg):
-    """Brute-force python binning: per tile, depth-sorted gaussian ids."""
-    from gsjax.render.oracle import tile_rect
-
+def reference_layout(mean_pix, depth, ext, h, w, cfg):
+    """Brute-force python binning: per tile, depth-ordered ORIGINAL ids."""
     tiles_x, tiles_y = num_tiles(h, w, cfg.tile_size)
     x0, y0, x1, y1 = (
         np.asarray(v)
-        for v in tile_rect(
-            jnp.asarray(mean_pix), jnp.asarray(radius), tiles_x, tiles_y,
-            cfg.tile_size,
+        for v in tile_rect_ext(
+            jnp.asarray(mean_pix), jnp.asarray(ext), tiles_x, tiles_y, cfg.tile_size
         )
     )
-    pairs = []  # (gaussian, tile) in gaussian order
-    for g in range(len(radius)):
+    n = len(depth)
+    order = sorted(range(n), key=lambda g: (depth[g], g))  # stable depth sort
+    pairs = []  # (gaussian, tile) in depth-major expansion order
+    for g in order:
         for ty in range(y0[g], y1[g]):
             for tx in range(x0[g], x1[g]):
                 pairs.append((g, ty * tiles_x + tx))
+    total = len(pairs)
     pairs = pairs[: cfg.max_instances]
     per_tile: dict[int, list[int]] = {}
-    order = sorted(range(len(pairs)), key=lambda i: (pairs[i][1], depth[pairs[i][0]], i))
-    for i in order:
-        g, t = pairs[i]
+    for g, t in pairs:  # expansion order IS depth order; grouping is stable
         per_tile.setdefault(t, []).append(g)
-    return per_tile, len(pairs)
+    return per_tile, total
 
 
-def unpack(binning, n, n_tiles, chunk):
+def unpack(binning, n, n_tiles):
+    """Per-tile ORIGINAL gaussian ids from the Binning layout."""
+    perm = np.asarray(binning.perm)
+    owner = np.asarray(binning.sorted_owner)
+    ts = np.asarray(binning.tile_start)
     per_tile = {}
     for t in range(n_tiles):
-        s = int(binning.chunk_start[t]) * chunk
-        c = int(binning.n_chunks[t]) * chunk
-        gids = [int(g) for g in binning.padded_gid[s : s + c] if int(g) != n]
-        if gids:
-            per_tile[t] = gids
+        ids = [int(perm[o]) for o in owner[ts[t] : ts[t + 1]] if o < n]
+        if ids:
+            per_tile[t] = ids
     return per_tile
+
+
+def _bin(mean_pix, depth, ext, h, w, cfg, conic=None, qmax=None):
+    n = len(depth)
+    conic = np.tile(TINY_CONIC, (n, 1)) if conic is None else conic
+    qmax = np.full(n, BIG_Q, np.float32) if qmax is None else qmax
+    return bin_gaussians(
+        jnp.asarray(mean_pix),
+        jnp.asarray(depth),
+        jnp.asarray(ext),
+        jnp.asarray(conic),
+        jnp.asarray(qmax),
+        h,
+        w,
+        cfg,
+    )
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -58,17 +84,78 @@ def test_layout_matches_bruteforce(seed):
     cfg = RasterConfig(max_instances=2048, chunk=128, interpret=True)
     mean_pix = rng.uniform(-10, 90, (n, 2)).astype(np.float32)
     depth = rng.uniform(0.5, 9.0, n).astype(np.float32)
-    radius = rng.integers(0, 20, n).astype(np.int32)
-    radius[::7] = 0  # culled rows interleaved
+    ext = rng.uniform(0, 20, (n, 2)).astype(np.float32)
+    ext[::7] = 0.0  # culled rows interleaved
 
-    binning = bin_gaussians(
-        jnp.asarray(mean_pix), jnp.asarray(depth), jnp.asarray(radius), h, w, cfg
-    )
+    binning = _bin(mean_pix, depth, ext, h, w, cfg)
     tiles_x, tiles_y = num_tiles(h, w, cfg.tile_size)
-    got = unpack(binning, n, tiles_x * tiles_y, cfg.chunk)
-    want, total = reference_layout(mean_pix, depth, radius, h, w, cfg)
+    got = unpack(binning, n, tiles_x * tiles_y)
+    want, total = reference_layout(mean_pix, depth, ext, h, w, cfg)
     assert int(binning.num_instances) == total
     assert got == want
+
+
+def test_gm_runs_group_each_gaussian():
+    rng = np.random.default_rng(2)
+    n, h, w = 25, 64, 64
+    cfg = RasterConfig(max_instances=1024, chunk=128, interpret=True)
+    mean_pix = rng.uniform(0, 64, (n, 2)).astype(np.float32)
+    depth = rng.uniform(1, 5, n).astype(np.float32)
+    ext = rng.uniform(0, 18, (n, 2)).astype(np.float32)
+
+    binning = _bin(mean_pix, depth, ext, h, w, cfg)
+    owner = np.asarray(binning.sorted_owner)
+    gm_map = np.asarray(binning.gm_map)
+    gm_start = np.asarray(binning.gm_start)
+    live_end = int(np.asarray(binning.tile_start)[-1])
+    # Every live stream slot appears in exactly one owner run; run o contains
+    # exactly the slots whose owner is o.
+    seen = set()
+    for o in range(n):
+        for p in gm_map[gm_start[o] : gm_start[o + 1]]:
+            assert owner[p] == o
+            assert p < live_end
+            seen.add(int(p))
+    assert len(seen) == live_end
+    assert gm_start[n] == live_end  # dead slots group past the live runs
+
+
+def test_exact_cull_drops_noncontributing_tiles():
+    # A thin diagonal splat: the tight rect covers a square of tiles but the
+    # ellipse (alpha >= 1/255 region) only crosses the diagonal ones.
+    cfg = RasterConfig(max_instances=1024, chunk=128, interpret=True)
+    h = w = 128
+    mean_pix = np.array([[64.0, 64.0]], np.float32)
+    depth = np.array([1.0], np.float32)
+    ext = np.array([[60.0, 60.0]], np.float32)
+    # conic of a covariance elongated along y=x: lambda_big along (1,1).
+    conic = np.array([[0.3, -0.29, 0.3]], np.float32)  # inverse cov, thin
+    qmax = np.array([2.0 * np.log(255.0)], np.float32)
+
+    loose = _bin(mean_pix, depth, ext, h, w, cfg)
+    tight = _bin(mean_pix, depth, ext, h, w, cfg, conic=conic, qmax=qmax)
+    live_loose = int(np.asarray(loose.tile_start)[-1])
+    live_tight = int(np.asarray(tight.tile_start)[-1])
+    assert live_loose == 64  # full 8x8 tile square
+    assert 0 < live_tight < live_loose
+    # Validate against the exact qmin test per tile.
+    ts = cfg.tile_size
+    expect = 0
+    for ty in range(8):
+        for tx in range(8):
+            dx0 = tx * ts - 64.0
+            dy0 = ty * ts - 64.0
+            qmin = float(
+                _qmin_over_rect(
+                    jnp.float32(dx0), jnp.float32(dx0 + ts - 1.0),
+                    jnp.float32(dy0), jnp.float32(dy0 + ts - 1.0),
+                    jnp.float32(conic[0, 0]), jnp.float32(conic[0, 1]),
+                    jnp.float32(conic[0, 2]),
+                )
+            )
+            if qmin <= qmax[0]:
+                expect += 1
+    assert live_tight == expect
 
 
 def test_overflow_budget_truncates_but_reports():
@@ -77,22 +164,29 @@ def test_overflow_budget_truncates_but_reports():
     rng = np.random.default_rng(3)
     mean_pix = rng.uniform(0, 64, (n, 2)).astype(np.float32)
     depth = rng.uniform(1, 5, n).astype(np.float32)
-    radius = np.full(n, 30, np.int32)  # each touches many tiles
+    ext = np.full((n, 2), 30.0, np.float32)  # each touches many tiles
 
-    binning = bin_gaussians(
-        jnp.asarray(mean_pix), jnp.asarray(depth), jnp.asarray(radius), h, w, cfg
-    )
+    binning = _bin(mean_pix, depth, ext, h, w, cfg)
     assert int(binning.num_instances) > cfg.max_instances  # true count reported
-    kept = int(jnp.sum(binning.n_chunks)) * cfg.chunk
-    assert kept <= padded_capacity(cfg.max_instances, 16, cfg.chunk)
+    assert int(np.asarray(binning.tile_start)[-1]) <= cfg.max_instances
+    # The kept instances are the shallowest ones (depth-major expansion).
+    want, _ = reference_layout(mean_pix, depth, ext, h, w, cfg)
+    tiles_x, tiles_y = num_tiles(h, w, cfg.tile_size)
+    got = unpack(binning, n, tiles_x * tiles_y)
+    assert got == want
 
 
 def test_all_culled_is_empty():
     cfg = RasterConfig(max_instances=256, chunk=128, interpret=True)
     n = 10
-    binning = bin_gaussians(
-        jnp.zeros((n, 2)), jnp.ones(n), jnp.zeros(n, jnp.int32), 32, 32, cfg
+    binning = _bin(
+        np.zeros((n, 2), np.float32),
+        np.ones(n, np.float32),
+        np.zeros((n, 2), np.float32),
+        32,
+        32,
+        cfg,
     )
     assert int(binning.num_instances) == 0
-    assert int(jnp.sum(binning.n_chunks)) == 0
-    assert bool(jnp.all(binning.padded_gid == n))
+    assert int(np.asarray(binning.tile_start)[-1]) == 0
+    assert bool(jnp.all(binning.sorted_owner == n))

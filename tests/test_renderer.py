@@ -64,11 +64,15 @@ class TestForward:
         params, aux = scene
         proj = _proj(params, camera, aux.alive)
         binning = bin_gaussians(
-            proj.mean_pix, proj.depth, proj.radius, camera.height, camera.width, CFG
+            proj.mean_pix, proj.depth, proj.ext, proj.conic, proj.qmax,
+            camera.height, camera.width, CFG,
         )
         tiles_x, tiles_y = num_tiles(camera.height, camera.width, CFG.tile_size)
+        from gsjax.render.composite import pack_fields
+
+        fields = pack_fields(proj.mean_pix, proj.conic, proj.rgb, proj.opacity)
         inst = build_inst_data(
-            proj.mean_pix, proj.conic, proj.rgb, proj.opacity, binning.padded_gid
+            jnp.take(fields, binning.perm, axis=0), binning.sorted_owner
         )
         tc, tt = composite_tiles_jax(
             inst, binning, tiles_x * tiles_y, tiles_x, CFG.tile_size, CFG.chunk
