@@ -25,10 +25,11 @@ element — so the layout below spends two instance-rate gathers and two
    chunk padding. The Pallas kernels mask boundary-chunk lanes instead, and
    the backward accumulates chunks shared between adjacent tiles in a VMEM
    carry block (the TPU grid is sequential, so no races).
-4. The backward's per-Gaussian reduction order (`gm_map`) comes from a
-   second 1-key sort of (owner, position); run boundaries are plain
-   arithmetic on the expansion cumsums (a searchsorted over the instance
-   stream costs ~70 ms — log(P) rounds of N-rate gathers).
+4. The backward's per-Gaussian reduction groups the grad stream by owner
+   with a stable 1-key rider sort (composite.py); binning only supplies the
+   run boundaries, as plain arithmetic on the expansion cumsums (a
+   searchsorted over the instance stream costs ~70 ms — log(P) rounds of
+   N-rate gathers).
 
 Everything here is integer bookkeeping under stop_gradient; gradients flow
 through the separately-gathered float instance data (see composite.py).
@@ -52,10 +53,10 @@ class Binning:
       N (one past the last row) marks dead/overflow slots.
     tile_start: [T+1] instance offsets per tile into the sorted stream
       (tile t owns slots [tile_start[t], tile_start[t+1])).
-    gm_map: [P] stream positions grouped by owner (gaussian-major order);
-      owner o's instances occupy gm slots [gm_start[o], gm_start[o+1]).
-    gm_start: [N+1] run boundaries of the gm stream (dead/overflow slots
-      group past gm_start[N]).
+    gm_start: [N+1] per-owner instance counts as run boundaries: owner o
+      owns gm_start[o+1] - gm_start[o] live instances (the backward groups
+      the grad stream by owner with a stable rider sort and segment-sums
+      runs of these lengths; dead/overflow slots group past gm_start[N]).
     num_instances: [] true (unclamped) EXACT pair count — if this exceeds
       max_instances the frame overflowed the instance budget.
     num_rows: [] true (unclamped) (gaussian, tile-row) run count — if this
@@ -65,7 +66,6 @@ class Binning:
     perm: jnp.ndarray
     sorted_owner: jnp.ndarray
     tile_start: jnp.ndarray
-    gm_map: jnp.ndarray
     gm_start: jnp.ndarray
     num_instances: jnp.ndarray
     num_rows: jnp.ndarray
@@ -313,13 +313,10 @@ def bin_gaussians(
         sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # --- gaussian-major reduction order for the backward ---------------------
-    # Positions of the sorted stream grouped by owner; dead slots (owner == n)
-    # group at the end. A second 1-key sort beats building the inverse
-    # permutation with an instance-rate scatter (~2.5x). Run boundaries are
-    # arithmetic on the expansion cumsums: owner o's instances start at the
-    # instance offset of its first row (budget-clamped).
-    _, gm_map = lax.sort((sorted_owner, p), num_keys=1, is_stable=True)
+    # --- gaussian-major run boundaries for the backward ----------------------
+    # Arithmetic on the expansion cumsums: owner o's instances start at the
+    # instance offset of its first row (budget-clamped). A searchsorted over
+    # the instance stream would cost log(P) rounds of N-rate gathers.
     row_of_owner = jnp.minimum(jnp.concatenate([rstart, rcum[-1:]]), R)
     inst_of_row = jnp.concatenate([istart, icum[-1:]])  # [R+1]
     gm_start = jnp.minimum(
@@ -330,7 +327,6 @@ def bin_gaussians(
         perm=perm,
         sorted_owner=sorted_owner,
         tile_start=tile_start,
-        gm_map=gm_map,
         gm_start=gm_start,
         num_instances=total,
         num_rows=total_rows,

@@ -136,10 +136,11 @@ def chunk_alpha(
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     G = jnp.exp(jnp.minimum(power, 0.0))
     raw = op * G
-    capped = raw + lax.stop_gradient(jnp.minimum(ALPHA_CAP, raw) - raw)
-    keep = lax.stop_gradient(
-        jnp.where((capped >= ALPHA_SKIP) & (power <= 0.0), lane_mask, 0.0)
-    )
+    # No AD ever passes through kernel math (composite is a custom_vjp and
+    # the twin is forward-only), so the cap is a plain min — the oracle
+    # carries the straight-through-gradient version of this clamp.
+    capped = jnp.minimum(ALPHA_CAP, raw)
+    keep = jnp.where((capped >= ALPHA_SKIP) & (power <= 0.0), lane_mask, 0.0)
     return capped * keep, G, keep
 
 
@@ -170,11 +171,9 @@ def chunk_forward(
     t_before = t_in * jnp.exp(cum_excl)  # (PIX, K) unmasked T before k
     # Termination test: the contribution that would push T below eps is
     # itself skipped, and the pixel stays done forever.
-    test = lax.stop_gradient(
-        jnp.where((t_before * (1.0 - alpha) < T_EPS) & (alpha > 0.0), 1.0, 0.0)
-    )
-    skip = lax.stop_gradient(
-        jnp.minimum(done_in + _tri_cumsum(test, exclusive=False, exact_input=True), 1.0)
+    test = jnp.where((t_before * (1.0 - alpha) < T_EPS) & (alpha > 0.0), 1.0, 0.0)
+    skip = jnp.minimum(
+        done_in + _tri_cumsum(test, exclusive=False, exact_input=True), 1.0
     )
     live = 1.0 - skip  # (PIX, K)
     w = alpha * t_before * live  # contribution weights
@@ -185,7 +184,7 @@ def chunk_forward(
     contrib = sums[:, :3]
     t_out = t_in * jnp.exp(sums[:, 3:4])
     # skip's last lane == done_in OR any termination in this chunk.
-    done_out = lax.stop_gradient(skip[:, -1:])
+    done_out = skip[:, -1:]
     return t_out, done_out, contrib
 
 
@@ -284,13 +283,15 @@ def chunk_backward(
     cum_u = _tri_cumsum(u, exclusive=False)
     A = jnp.sum(d_color * (c_total - prefix_in), axis=-1, keepdims=True)  # (PIX,1)
     one_minus = 1.0 - alpha
-    d_alpha = s * t_before - (A - cum_u) / one_minus
+    # d_tfinal * t_final is tile-constant: fold it into the suffix numerator
+    # so the chunk pays ONE division. Callers may pre-multiply and pass it
+    # via d_tfinal with t_final=1, but keeping both is free:
+    dtt = d_tfinal * t_final  # (PIX, 1)
+    d_alpha = (s * t_before - (A + dtt - cum_u) / one_minus) * live
     sums = _lane_sums(
         [w * c3[0:1, :], w * c3[1:2, :], w * c3[2:3, :], lg * live]
     )  # (PIX, 4)
     prefix_out = prefix_in + sums[:, :3]
-    d_alpha = d_alpha - d_tfinal * t_final / one_minus
-    d_alpha = d_alpha * live  # skipped instances get no gradient
 
     # Chain through alpha = op * exp(power) (straight-through past the cap).
     # All six position/conic gradients are pixel sums of d_power times a

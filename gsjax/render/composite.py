@@ -6,12 +6,14 @@ inputs are DEPTH-ORDERED (callers permute by binning.perm; the permuting
 take's autodiff maps cotangents back to original order). Integer binning
 products are ordinary (traced) arguments with None cotangents.
 
-The per-Gaussian reduction avoids scatter-add (jax.ops.segment_sum costs
-~440 ms at 4M instances on TPU): the backward gathers the tile-ordered
-instance-gradient stream into GAUSSIAN-MAJOR order through binning.gm_map
-(itself built with a 1-key sort, ~2.5x cheaper than an instance-rate
-scatter), takes a running cumsum, and differences it at per-Gaussian run
-boundaries (binning.gm_start).
+The per-Gaussian reduction avoids both scatter-add (jax.ops.segment_sum
+costs ~440 ms at 4M instances on TPU) and instance-rate gathers (~23 ns/row
+against a stream-sized table): the backward groups the tile-ordered
+instance-gradient stream by owner with ONE stable 1-key sort carrying the
+nine gradient rows as riders (~2.5 ns/element/array), then segment-sums the
+owner runs with a Pallas kernel gridded over owner blocks (disjoint
+instance ranges, one-hot MXU contractions — see
+pallas_kernels.segment_sum_pallas).
 
 On non-TPU backends (or cfg.interpret), the kernels run in Pallas interpret
 mode; `composite_tiles_jax` (tiled_jax.py) offers the same forward math
@@ -25,12 +27,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gsjax.render import common
 from gsjax.render.common import build_inst_data
 from gsjax.render.pallas_kernels import (
     composite_backward_pallas,
     composite_forward_pallas,
+    segment_sum_pallas,
 )
 
 
@@ -109,23 +113,20 @@ def _composite_bwd(static, residuals, cotangents):
         interpret=static.interpret,
     )
 
-    # Gaussian-major gather of the tile-ordered grad stream, then a
-    # segmented sum via cumsum + boundary differences over each Gaussian's
-    # contiguous run [gm_start[o], gm_start[o+1]).
-    gm = jnp.take(inst_grads.T, binning.gm_map, axis=0)  # (P, ROWS)
-    csum = jnp.cumsum(gm, axis=0)
-    start = binning.gm_start[:-1]
-    end = binning.gm_start[1:]
-    P = gm.shape[0]
-    c_end = jnp.take(csum, jnp.clip(end - 1, 0, P - 1), axis=0)
-    c_start = jnp.take(csum, jnp.clip(start - 1, 0, P - 1), axis=0)
-    per_gauss = jnp.where(
-        (end > start)[:, None],
-        c_end - jnp.where((start > 0)[:, None], c_start, 0.0),
-        0.0,
-    )  # (N, ROWS)
-
-    return (per_gauss[:, : common.N_FIELDS], None)
+    # Group the grad stream by owner (stable rider sort), then segment-sum
+    # each owner's contiguous run [gm_start[o], gm_start[o+1]).
+    rows = tuple(inst_grads[i] for i in range(common.N_FIELDS))
+    gm = lax.sort(
+        (binning.sorted_owner, *rows), num_keys=1, is_stable=True
+    )
+    # Pad rows to a multiple of 8 (HBM slices are (8,128)-tiled).
+    vals = jnp.stack(gm[1:], axis=0)  # (N_FIELDS, P)
+    vals = jnp.pad(vals, ((0, -common.N_FIELDS % 8), (0, 0)))
+    n = binning.gm_start.shape[0] - 1
+    sums = segment_sum_pallas(
+        vals, binning.gm_start, interpret=static.interpret
+    )
+    return (sums[: common.N_FIELDS, :n].T, None)
 
 
 composite.defvjp(_composite_fwd, _composite_bwd)

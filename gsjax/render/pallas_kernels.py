@@ -161,6 +161,132 @@ def composite_forward_pallas(
     )(tile_start, inst_data)
 
 
+def _segsum_kernel(
+    # inputs
+    lo_ref,  # (1, 1, OB) int32: run starts for this owner block
+    hi_ref,  # (1, 1, OB) int32: run ends
+    vals_hbm,  # (F, P) ANY
+    # outputs
+    out_ref,  # (F, OB) block at owner offset
+    # scratch
+    vals_vmem,  # (2, F, C)
+    sems,
+    *,
+    chunk: int,
+    owner_block: int,
+):
+    lo = lo_ref[0]  # (1, OB)
+    hi = hi_ref[0]
+    i0 = lo_ref[0, 0, 0]
+    i1 = hi_ref[0, 0, owner_block - 1]
+    c0 = i0 // chunk
+    n = jnp.where(i1 > i0, (i1 + chunk - 1) // chunk - c0, 0)
+    f = vals_vmem.shape[1]
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            vals_hbm.at[:, pl.ds((c0 + j) * chunk, chunk)],
+            vals_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    row_iota = lax.broadcasted_iota(jnp.int32, (chunk, owner_block), 0)
+
+    def body(j, acc):
+        slot = j % 2
+
+        @pl.when(j + 1 < n)
+        def _():
+            get_dma((j + 1) % 2, j + 1).start()
+
+        get_dma(slot, j).wait()
+        vals = vals_vmem[slot]  # (F, C)
+        # Ownership by POSITION: slot i belongs to owner bucket b iff
+        # i in [lo[b], hi[b]) — no owner stream needed, the sorted runs
+        # are delimited by the gm_start window. Exact 0/1 in bf16.
+        idx = (c0 + j) * chunk + row_iota  # (C, OB)
+        sel = jnp.where((idx >= lo) & (idx < hi), 1.0, 0.0).astype(
+            jnp.bfloat16
+        )  # (C, OB)
+        vhi = vals.astype(jnp.bfloat16)
+        vlo = (vals - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(vhi, sel, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(vlo, sel, preferred_element_type=jnp.float32)
+        return acc
+
+    out_ref[:] = lax.fori_loop(
+        0, n, body, jnp.zeros((f, owner_block), jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "owner_block", "interpret"))
+def segment_sum_pallas(
+    vals: jnp.ndarray,
+    gm_start: jnp.ndarray,
+    *,
+    chunk: int = 128,
+    owner_block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-owner segment sums of an owner-grouped value stream.
+
+    Args:
+      vals: (F, P) f32 values (F a multiple of 8), grouped into ascending-
+        owner runs along P.
+      gm_start: (N+1,) int32 run boundaries: owner o owns slots
+        [gm_start[o], gm_start[o+1]).
+
+    Returns:
+      (F, N_pad) f32 with column o = sum over owner o's slots (N_pad = N
+      rounded up to owner_block; callers slice [:N]).
+
+    Grid over owner blocks: each grid step walks exactly its owners'
+    instance range (disjoint by construction — no carries, no write
+    hazards) and reduces chunks with a position-range one-hot (C, OB) MXU
+    contraction built from the gm_start window alone.
+    """
+    f, p = vals.shape
+    n = gm_start.shape[0] - 1
+    nob = -(-n // owner_block)
+    pad = nob * owner_block + 1 - gm_start.shape[0]
+    gs = jnp.concatenate(
+        [gm_start, jnp.broadcast_to(gm_start[-1:], (pad,))]
+    )  # (nob*OB + 1,)
+    lo = gs[:-1].reshape(nob, 1, owner_block)
+    hi = gs[1:].reshape(nob, 1, owner_block)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nob,),
+        in_specs=[
+            pl.BlockSpec((1, 1, owner_block), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, owner_block), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((f, owner_block), lambda i: (0, i))],
+        scratch_shapes=[
+            pltpu.VMEM((2, f, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _segsum_kernel, chunk=chunk, owner_block=owner_block
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((f, nob * owner_block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lo, hi, vals)[0]
+
+
 def _bwd_kernel(
     # scalar prefetch
     tile_start_ref,

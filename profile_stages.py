@@ -114,18 +114,18 @@ def main():
     ig = timeit("composite bwd kernel", bwdk, inst, binning.tile_start,
                 tc, tt3, dtc, dtt)
 
-    def reduce_grads(inst_grads, gm_map, gm_start):
-        gm = jnp.take(inst_grads.T, gm_map, axis=0)
-        csum = jnp.cumsum(gm, axis=0)
-        P = gm.shape[0]
-        start = gm_start[:-1]
-        end = gm_start[1:]
-        c_end = jnp.take(csum, jnp.clip(end - 1, 0, P - 1), axis=0)
-        c_start = jnp.take(csum, jnp.clip(start - 1, 0, P - 1), axis=0)
-        return jnp.where((end > start)[:, None],
-                         c_end - jnp.where((start > 0)[:, None], c_start, 0.0), 0.0)
+    def reduce_grads(inst_grads, owners, gm_start):
+        from jax import lax
+        from gsjax.render import common as C
+        from gsjax.render.pallas_kernels import segment_sum_pallas
+        rows = tuple(inst_grads[i] for i in range(C.N_FIELDS))
+        gm = lax.sort((owners, *rows), num_keys=1, is_stable=True)
+        vals = jnp.pad(jnp.stack(gm[1:], axis=0), ((0, 7), (0, 0)))
+        n = gm_start.shape[0] - 1
+        sums = segment_sum_pallas(vals, gm_start, interpret=cfg.interpret)
+        return sums[:, :n].T
     red = jax.jit(reduce_grads)
-    timeit("grad reduction", red, ig, binning.gm_map, binning.gm_start)
+    timeit("grad reduction", red, ig, binning.sorted_owner, binning.gm_start)
 
     n_inst = int(binning.num_instances)
     live = int(np.asarray(binning.tile_start)[-1])

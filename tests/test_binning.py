@@ -105,18 +105,13 @@ def test_gm_runs_group_each_gaussian():
 
     binning = _bin(mean_pix, depth, ext, h, w, cfg)
     owner = np.asarray(binning.sorted_owner)
-    gm_map = np.asarray(binning.gm_map)
     gm_start = np.asarray(binning.gm_start)
     live_end = int(np.asarray(binning.tile_start)[-1])
-    # Every live stream slot appears in exactly one owner run; run o contains
-    # exactly the slots whose owner is o.
-    seen = set()
-    for o in range(n):
-        for p in gm_map[gm_start[o] : gm_start[o + 1]]:
-            assert owner[p] == o
-            assert p < live_end
-            seen.add(int(p))
-    assert len(seen) == live_end
+    # gm_start[o+1] - gm_start[o] must equal owner o's live instance count:
+    # sorting the stream by owner groups exactly those runs.
+    counts = np.bincount(owner[owner < n], minlength=n)
+    np.testing.assert_array_equal(gm_start[1:] - gm_start[:-1], counts)
+    assert gm_start[0] == 0
     assert gm_start[n] == live_end  # dead slots group past the live runs
 
 
