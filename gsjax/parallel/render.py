@@ -54,8 +54,9 @@ def render_slab(
     """Rasterize the slab of `rows` tile rows starting at pixel row `py0`.
 
     Returns (color [3, rows*ts, W_pad], transmittance [rows*ts, W_pad],
-    radii [N] int32, num_instances []) — uncropped tile-space slab, no
-    background applied (composite bg after the cross-device gather).
+    radii [N] int32, counts ([num_instances, num_rows] int32)) — uncropped
+    tile-space slab, no background applied (composite bg after the
+    cross-device gather).
     """
     ts = cfg.tile_size
     tiles_x, _ = num_tiles(camera.height, camera.width, ts)
@@ -94,7 +95,8 @@ def render_slab(
     color, transmittance = untile_image(
         tile_color, tile_t, slab_px, w_pad, tiles_x, rows, ts
     )
-    return color, transmittance, proj.radius, binning.num_instances
+    counts = jnp.stack([binning.num_instances, binning.num_rows])
+    return color, transmittance, proj.radius, counts
 
 
 @functools.partial(

@@ -165,6 +165,8 @@ def make_sharded_train_step(
         new_state = TrainState(
             params=new_params, opt=new_opt, aux=aux, step=state.step + 1
         )
-        return new_state, StepMetrics(loss=loss, l1=l1, num_instances=ninst)
+        return new_state, StepMetrics(
+            loss=loss, l1=l1, num_instances=ninst[0], num_rows=ninst[1]
+        )
 
     return step

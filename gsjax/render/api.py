@@ -25,12 +25,15 @@ from gsjax.render.preprocess import preprocess
 
 @flax.struct.dataclass
 class RenderOutput:
-    """image: [3,H,W]; radii: [N] int32 (0 = invisible); num_instances:
-    true (gaussian, tile) pair count for overflow diagnostics."""
+    """image: [3,H,W]; radii: [N] int32 (0 = invisible); num_instances /
+    num_rows: true (gaussian, tile) pair and (gaussian, tile-row) run counts
+    for budget-overflow diagnostics (counts above cfg.max_instances /
+    cfg.max_rows mean work was dropped deepest-first)."""
 
     image: jnp.ndarray
     radii: jnp.ndarray
     num_instances: jnp.ndarray
+    num_rows: jnp.ndarray
 
     @property
     def visibility_filter(self) -> jnp.ndarray:
@@ -130,7 +133,10 @@ def render(
     )
     image = color + transmittance[None, :, :] * bg_color[:, None, None]
     return RenderOutput(
-        image=image, radii=proj.radius, num_instances=binning.num_instances
+        image=image,
+        radii=proj.radius,
+        num_instances=binning.num_instances,
+        num_rows=binning.num_rows,
     )
 
 

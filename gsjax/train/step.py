@@ -38,6 +38,7 @@ class StepMetrics:
     loss: jnp.ndarray
     l1: jnp.ndarray
     num_instances: jnp.ndarray
+    num_rows: jnp.ndarray
 
 
 def _loss_and_render(
@@ -99,7 +100,9 @@ def _step_core(
     new_state = TrainState(
         params=new_params, opt=new_opt, aux=aux, step=state.step + 1
     )
-    metrics = StepMetrics(loss=loss, l1=l1, num_instances=out.num_instances)
+    metrics = StepMetrics(
+        loss=loss, l1=l1, num_instances=out.num_instances, num_rows=out.num_rows
+    )
     return new_state, metrics
 
 

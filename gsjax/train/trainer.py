@@ -41,6 +41,15 @@ from gsjax.train.optimizer import AdamState, adam_init
 from gsjax.train.step import TrainState, train_step, train_steps
 
 
+_MIN_BUDGET = 1 << 16
+
+
+def _pow2_budget(peak: int, headroom: float = 1.3) -> int:
+    """Smallest power-of-two holding peak * headroom (bounded recompiles)."""
+    need = max(int(peak * headroom), _MIN_BUDGET)
+    return 1 << (need - 1).bit_length()
+
+
 def grow_capacity(state: TrainState, new_cap: int) -> TrainState:
     """Re-pad every per-Gaussian buffer to new_cap (recompile trigger)."""
     old = state.params.capacity
@@ -145,6 +154,7 @@ class Trainer:
         self._viewpoint_stack: list[tuple[int, int]] = []
         self._render_cache: dict = {}
         self._rng = np.random.default_rng(0)
+        self._budget_quiet_windows = 0
         self._key = jax.random.PRNGKey(0)
 
     # ---------------------------------------------------------------- utils
@@ -181,7 +191,10 @@ class Trainer:
             if cov3d_python is None
             else cov3d_python
         )
-        key = (camera.width, camera.height, self.active_sh_degree, shs, cov)
+        key = (
+            camera.width, camera.height, self.active_sh_degree, shs, cov,
+            self.raster_cfg,
+        )
         if key not in self._render_cache:
             cfg = self.raster_cfg
 
@@ -329,6 +342,12 @@ class Trainer:
                     f"state dumped to {path}"
                 )
 
+            self._maybe_adapt_budgets(
+                iteration + w,
+                int(np.max(np.asarray(metrics.num_instances))),
+                int(np.max(np.asarray(metrics.num_rows))),
+            )
+
             for k in range(w):
                 it_k = iteration + 1 + k
                 ema_loss = 0.4 * float(losses[k]) + 0.6 * ema_loss
@@ -419,6 +438,49 @@ class Trainer:
                 f"(alive={n_alive}, dropped={int(stats.n_dropped)})"
             )
             self.state = grow_capacity(self.state, new_cap)
+
+    def _maybe_adapt_budgets(
+        self, iteration: int, peak_inst: int, peak_rows: int
+    ) -> None:
+        """Keep the static instance/row budgets sized to the scene.
+
+        The CUDA rasterizer sizes its key/value buffers dynamically every
+        frame (SURVEY.md §2.3a); XLA's static shapes can't, so the budgets
+        are compile-time. GROW immediately on overflow — a frame past the
+        budget drops its deepest (gaussian, tile) pairs and silently
+        degrades training. SHRINK only after a long stretch of deep
+        underuse (instance-rate binning work is proportional to the budget,
+        not the true count). Either change re-jits the step once.
+        """
+        import dataclasses
+
+        cfg = self.raster_cfg
+        new_inst, new_rows = cfg.max_instances, cfg.max_rows
+        if peak_inst > cfg.max_instances:
+            new_inst = _pow2_budget(peak_inst)
+        if peak_rows > cfg.max_rows:
+            new_rows = _pow2_budget(peak_rows)
+        if new_inst == cfg.max_instances and new_rows == cfg.max_rows:
+            underused = (
+                peak_inst < 0.35 * cfg.max_instances
+                and cfg.max_instances > _MIN_BUDGET
+            )
+            self._budget_quiet_windows = (
+                self._budget_quiet_windows + 1 if underused else 0
+            )
+            if self._budget_quiet_windows >= 50:
+                new_inst = _pow2_budget(peak_inst, headroom=2.0)
+                self._budget_quiet_windows = 0
+        if (new_inst, new_rows) == (cfg.max_instances, cfg.max_rows):
+            return
+        print(
+            f"\n[ITER {iteration}] raster budgets {cfg.max_instances}/"
+            f"{cfg.max_rows} -> {new_inst}/{new_rows} "
+            f"(peaks {peak_inst}/{peak_rows})"
+        )
+        self.raster_cfg = dataclasses.replace(
+            cfg, max_instances=new_inst, max_rows=new_rows
+        )
 
     def _report_test(self, iteration: int) -> None:
         """Held-out evaluation (reference: train.py:156-191)."""

@@ -137,3 +137,27 @@ def test_trainer_loss_decreases(blender_dataset, tmp_path):
     trainer.train(test_iterations=(), save_iterations=(), checkpoint_iterations=())
     assert int(trainer.state.step) == 60
     assert trainer.n_alive() >= 300  # densify ran without wiping the scene
+
+
+def test_trainer_grows_raster_budget_on_overflow(blender_dataset, tmp_path):
+    """A deliberately tiny instance budget must self-correct: the trainer
+    re-jits with a grown budget once a window reports overflow (the CUDA
+    rasterizer never drops pairs — it sizes buffers dynamically)."""
+    from gsjax.config import ModelConfig, OptimizationConfig, RasterConfig
+    from gsjax.scene import Scene
+    from gsjax.train.trainer import Trainer
+
+    model_cfg = ModelConfig(
+        source_path=blender_dataset, model_path=str(tmp_path / "m3"), eval=False
+    )
+    opt_cfg = OptimizationConfig(
+        iterations=6, densify_from_iter=100, densify_until_iter=0
+    )
+    scene = Scene(model_cfg)
+    tiny = RasterConfig(max_instances=128, max_rows=128, interpret=True)
+    trainer = Trainer(scene, model_cfg, opt_cfg, raster_cfg=tiny, quiet=True)
+    trainer.train(test_iterations=(), save_iterations=(), checkpoint_iterations=())
+    assert trainer.raster_cfg.max_instances > 128
+    assert trainer.raster_cfg.max_rows > 128
+    # Grown budgets hold the scene: the last windows saw no overflow.
+    assert trainer.raster_cfg.max_instances >= 1 << 16
