@@ -29,30 +29,61 @@ def save_png(path: str, image) -> None:
 
 def render_set(
     model_path, name, iteration, banks, params, alive, sh_degree, bg, cfg
-) -> None:
-    """(reference: render.py:24-35)"""
+) -> "RasterConfig":
+    """(reference: render.py:24-35)
+
+    Returns the (possibly grown) RasterConfig: a frame whose true
+    (gaussian, tile) pair count exceeds the static budget is re-rendered
+    with the budget doubled to the next power of two — dropped pairs would
+    silently degrade the output images.
+    """
+    import dataclasses
+
+    from gsjax.train.trainer import _pow2_budget
+
     render_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
     gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
     os.makedirs(render_path, exist_ok=True)
     os.makedirs(gts_path, exist_ok=True)
 
     jit_cache = {}
+
+    def fn_for(width, height, cfg):
+        key = (width, height, cfg)
+        if key not in jit_cache:
+
+            def _r(p, c, a, b, cfg=cfg):
+                out = render(
+                    p, c, active_sh_degree=sh_degree, bg_color=b, cfg=cfg, alive=a
+                )
+                return out.image, out.num_instances, out.num_rows
+
+            jit_cache[key] = jax.jit(_r)
+        return jit_cache[key]
+
     idx = 0
     for bank in banks:
-        key = (bank.width, bank.height)
-        if key not in jit_cache:
-            jit_cache[key] = jax.jit(
-                lambda p, c, a, b: render(
-                    p, c, active_sh_degree=sh_degree, bg_color=b, cfg=cfg, alive=a
-                ).image
-            )
-        fn = jit_cache[key]
         for i in range(bank.count):
             cam, gt = bank.pick(jnp.int32(i))
-            img = fn(params, cam, alive, bg)
+            while True:
+                fn = fn_for(bank.width, bank.height, cfg)
+                img, ninst, nrows = fn(params, cam, alive, bg)
+                ninst, nrows = int(ninst), int(nrows)
+                if ninst <= cfg.max_instances and nrows <= cfg.max_rows:
+                    break
+                cfg = dataclasses.replace(
+                    cfg,
+                    max_instances=max(_pow2_budget(ninst), cfg.max_instances),
+                    max_rows=max(_pow2_budget(nrows), cfg.max_rows),
+                )
+                print(
+                    f"growing raster budgets to {cfg.max_instances}/"
+                    f"{cfg.max_rows} (frame needs {ninst}/{nrows})"
+                )
             save_png(os.path.join(render_path, f"{idx:05d}.png"), img)
             save_png(os.path.join(gts_path, f"{idx:05d}.png"), gt)
             idx += 1
+    return cfg
 
 
 def render_sets(
@@ -70,7 +101,7 @@ def render_sets(
     sh_degree = scene.params.max_sh_degree
 
     if not skip_train:
-        render_set(
+        cfg = render_set(
             model_cfg.model_path,
             "train",
             scene.loaded_iter,
