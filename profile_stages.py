@@ -30,7 +30,7 @@ WIDTH, HEIGHT = 1920, 1080
 N = 500_000
 SH_DEGREE = 3
 ITERS = 30
-BUDGET = 2 ** 21
+BUDGET = 3 * 2 ** 20
 
 
 def timeit(name, fn, *args, fence=None):

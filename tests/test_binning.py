@@ -93,6 +93,10 @@ def test_layout_matches_bruteforce(seed):
     want, total = reference_layout(mean_pix, depth, ext, h, w, cfg)
     assert int(binning.num_instances) == total
     assert got == want
+    # Exactness invariant: with no overflow and no exact-cull (BIG_Q), the
+    # reported count equals the live stream length — the budget is spent
+    # entirely on real instances.
+    assert int(np.asarray(binning.tile_start)[-1]) == total
 
 
 def test_gm_runs_group_each_gaussian():
