@@ -39,7 +39,7 @@ def render_set(
     """
     import dataclasses
 
-    from gsjax.train.trainer import _pow2_budget
+    from gsjax.config import pow2_budget
 
     render_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
     gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
@@ -71,10 +71,11 @@ def render_set(
                 ninst, nrows = int(ninst), int(nrows)
                 if ninst <= cfg.max_instances and nrows <= cfg.max_rows:
                     break
+                jit_cache.clear()  # drop outgrown executables
                 cfg = dataclasses.replace(
                     cfg,
-                    max_instances=max(_pow2_budget(ninst), cfg.max_instances),
-                    max_rows=max(_pow2_budget(nrows), cfg.max_rows),
+                    max_instances=max(pow2_budget(ninst), cfg.max_instances),
+                    max_rows=max(pow2_budget(nrows), cfg.max_rows),
                 )
                 print(
                     f"growing raster budgets to {cfg.max_instances}/"

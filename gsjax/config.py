@@ -95,9 +95,34 @@ class RasterConfig:
     max_rows: int = 2 ** 21
     interpret: bool = False
 
+    def __post_init__(self) -> None:
+        # The kernels DMA whole chunk-sized slices of the instance stream;
+        # a budget that is not a chunk multiple would read/write past the
+        # buffer on the final partial chunk.
+        if self.max_instances % self.chunk:
+            raise ValueError(
+                f"max_instances ({self.max_instances}) must be a multiple "
+                f"of chunk ({self.chunk})"
+            )
+        if self.max_rows % self.chunk:
+            raise ValueError(
+                f"max_rows ({self.max_rows}) must be a multiple of chunk "
+                f"({self.chunk})"
+            )
+
     @property
     def pixels_per_tile(self) -> int:
         return self.tile_size * self.tile_size
+
+
+MIN_RASTER_BUDGET = 1 << 16
+
+
+def pow2_budget(peak: int, headroom: float = 1.3) -> int:
+    """Smallest power-of-two budget holding peak * headroom (powers of two
+    bound the number of distinct recompiles as budgets self-size)."""
+    need = max(int(peak * headroom), MIN_RASTER_BUDGET)
+    return 1 << (need - 1).bit_length()
 
 
 def padded_image_shape(height: int, width: int, tile: int) -> tuple[int, int]:

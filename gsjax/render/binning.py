@@ -57,8 +57,12 @@ class Binning:
       owns gm_start[o+1] - gm_start[o] live instances (the backward groups
       the grad stream by owner with a stable rider sort and segment-sums
       runs of these lengths; dead/overflow slots group past gm_start[N]).
-    num_instances: [] true (unclamped) EXACT pair count — if this exceeds
-      max_instances the frame overflowed the instance budget.
+    num_instances: [] EXACT pair count over the rows that fit the row
+      budget — if this exceeds max_instances the frame overflowed the
+      instance budget. NOTE: when num_rows > max_rows, pairs of the dropped
+      rows are NOT counted here; consumers must check BOTH counts to decide
+      "nothing was dropped" (trainer/_maybe_adapt_budgets and the render CLI
+      do).
     num_rows: [] true (unclamped) (gaussian, tile-row) run count — if this
       exceeds max_rows the frame overflowed the row budget.
     """
@@ -186,6 +190,31 @@ def _row_x_interval(
     return x_lo, x_hi, nonempty
 
 
+# Safety margin on the alpha-threshold level used by the interval cull: the
+# conic determinant ca*cc - cb^2 cancels catastrophically in f32 for
+# needle-thin splats (the same cancellation the CUDA rasterizer's conic
+# inversion carries), which could over-tighten intervals and drop pixels
+# with alpha just above 1/255. Keeping borderline instances is always
+# output-safe — the compositor's skip mask zeroes them.
+CULL_QMAX_MARGIN = 1.05
+
+# Table gathers carry integer offsets as f32 lanes; a 12-bit split keeps
+# them exact for budgets up to 2^31 (plain f32 corrupts above 2^24, and the
+# self-sizing budgets are unbounded).
+_SPLIT = 4096.0
+
+
+def _split12(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return (
+        (v // 4096).astype(jnp.float32),
+        (v % 4096).astype(jnp.float32),
+    )
+
+
+def _join12(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    return hi.astype(jnp.int32) * 4096 + lo.astype(jnp.int32)
+
+
 def _expand(start: jnp.ndarray, budget: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """owner[s] for each of `budget` slots given exclusive run starts:
     boundary-mark scatter + running cumsum (among equal starts — zero-count
@@ -250,9 +279,11 @@ def bin_gaussians(
     rowner, r = _expand(rstart, R)
     rvalid = r < jnp.minimum(total_rows, R)
     rg = jnp.clip(rowner, 0, n - 1)
+    rstart_hi, rstart_lo = _split12(rstart)
     row_table = jnp.stack(
         [
-            rstart.astype(jnp.float32),
+            rstart_hi,
+            rstart_lo,
             y0.astype(jnp.float32),
             x0.astype(jnp.float32),
             x1.astype(jnp.float32),
@@ -261,24 +292,24 @@ def bin_gaussians(
             co[:, 0],
             co[:, 1],
             co[:, 2],
-            qm,
+            qm * CULL_QMAX_MARGIN + 1e-6,
         ],
         axis=-1,
-    )  # (N, 10)
-    rt = jnp.take(row_table, rg, axis=0)  # (R, 10)
-    ty = rt[:, 1].astype(jnp.int32) + (r - rt[:, 0].astype(jnp.int32))
+    )  # (N, 11)
+    rt = jnp.take(row_table, rg, axis=0)  # (R, 11)
+    ty = rt[:, 2].astype(jnp.int32) + (r - _join12(rt[:, 0], rt[:, 1]))
     # Exact x-interval of the alpha>=1/255 ellipse within this row's pixel
     # strip [ty*ts, ty*ts + ts-1], relative to the center (mx, my).
-    y0s = ty.astype(jnp.float32) * ts - rt[:, 5]
+    y0s = ty.astype(jnp.float32) * ts - rt[:, 6]
     x_lo, x_hi, nonempty = _row_x_interval(
-        y0s, y0s + (ts - 1.0), rt[:, 6], rt[:, 7], rt[:, 8], rt[:, 9]
+        y0s, y0s + (ts - 1.0), rt[:, 7], rt[:, 8], rt[:, 9], rt[:, 10]
     )
     # Tiles tx whose pixel span [tx*ts, tx*ts + ts-1] meets [mx+x_lo, mx+x_hi],
     # clamped to the (already grid-clamped) rect x bounds.
-    rx0 = jnp.ceil((rt[:, 4] + x_lo - (ts - 1.0)) / ts).astype(jnp.int32)
-    rx1 = jnp.floor((rt[:, 4] + x_hi) / ts).astype(jnp.int32) + 1
-    rx0 = jnp.maximum(rx0, rt[:, 2].astype(jnp.int32))
-    rx1 = jnp.minimum(rx1, rt[:, 3].astype(jnp.int32))
+    rx0 = jnp.ceil((rt[:, 5] + x_lo - (ts - 1.0)) / ts).astype(jnp.int32)
+    rx1 = jnp.floor((rt[:, 5] + x_hi) / ts).astype(jnp.int32) + 1
+    rx0 = jnp.maximum(rx0, rt[:, 3].astype(jnp.int32))
+    rx1 = jnp.minimum(rx1, rt[:, 4].astype(jnp.int32))
     inst_counts = jnp.where(
         rvalid & nonempty, jnp.maximum(rx1 - rx0, 0), 0
     )  # [R]
@@ -292,17 +323,21 @@ def bin_gaussians(
     iowner, p = _expand(istart, P)
     ivalid = p < jnp.minimum(total, P)
     ir = jnp.clip(iowner, 0, R - 1)
+    istart_hi, istart_lo = _split12(istart)
+    rg_hi, rg_lo = _split12(rg)
     inst_table = jnp.stack(
         [
-            istart.astype(jnp.float32),
+            istart_hi,
+            istart_lo,
             tile_base.astype(jnp.float32),
-            rg.astype(jnp.float32),
+            rg_hi,
+            rg_lo,
         ],
         axis=-1,
-    )  # (R, 3)
-    it = jnp.take(inst_table, ir, axis=0)  # (P, 3)
-    tile = it[:, 1].astype(jnp.int32) + (p - it[:, 0].astype(jnp.int32))
-    g = it[:, 2].astype(jnp.int32)
+    )  # (R, 5)
+    it = jnp.take(inst_table, ir, axis=0)  # (P, 5)
+    tile = it[:, 2].astype(jnp.int32) + (p - _join12(it[:, 0], it[:, 1]))
+    g = _join12(it[:, 3], it[:, 4])
     tile = jnp.where(ivalid, tile, n_tiles)  # sentinel sorts last
 
     # --- group by tile: stable 1-key sort (depth order rides via owner) -----

@@ -303,7 +303,7 @@ def preprocess(
     cov_sg = lax.stop_gradient(cov2d)
     ex = jnp.sqrt(jnp.maximum(qmax * cov_sg[:, 0], 0.0))
     ey = jnp.sqrt(jnp.maximum(qmax * cov_sg[:, 2], 0.0))
-    covered = (lax.stop_gradient(op_sg * 1.0) >= _ALPHA_SKIP) & (radius > 0.0)
+    covered = (op_sg >= _ALPHA_SKIP) & (radius > 0.0)
     ext = jnp.stack(
         [
             jnp.where(covered, jnp.minimum(ex, radius), 0.0),

@@ -13,6 +13,7 @@ from jax import lax
 
 from gsjax.render.binning import Binning
 from gsjax.render.common import chunk_forward
+from gsjax.render.pallas_kernels import _chunk_range, _lane_mask
 
 
 def composite_tiles_jax(
@@ -41,8 +42,9 @@ def composite_tiles_jax(
     def tile_step(_, t):
         i0 = tile_start[t]
         i1 = tile_start[t + 1]
-        c0 = i0 // chunk
-        n = jnp.where(i1 > i0, (i1 + chunk - 1) // chunk - c0, 0)
+        # Same range/mask helpers as the kernels — the twin must stay
+        # step-for-step identical with them.
+        c0, n = _chunk_range(i0, i1, chunk)
         tx = t % tiles_x
         ty = t // tiles_x
         px = (tx * tile_size + pidx % tile_size).astype(jnp.float32)[:, None]
@@ -53,8 +55,7 @@ def composite_tiles_jax(
             inst = lax.dynamic_slice(
                 inst_data, (0, (c0 + j) * chunk), (inst_data.shape[0], chunk)
             )
-            idx = (c0 + j) * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-            mask = jnp.where((idx >= i0) & (idx < i1), 1.0, 0.0)
+            mask = _lane_mask(c0, j, i0, i1, chunk)
             t_out, done_out, contrib = chunk_forward(
                 inst, px, py, t_in, done_in, mask
             )

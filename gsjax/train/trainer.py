@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsjax.config import (
+    MIN_RASTER_BUDGET,
+    pow2_budget,
     ModelConfig,
     OptimizationConfig,
     PipelineConfig,
@@ -39,15 +41,6 @@ from gsjax.train.checkpoint import load_checkpoint, save_checkpoint
 from gsjax.train.densify import densify_and_prune, reset_opacity
 from gsjax.train.optimizer import AdamState, adam_init
 from gsjax.train.step import TrainState, train_step, train_steps
-
-
-_MIN_BUDGET = 1 << 16
-
-
-def _pow2_budget(peak: int, headroom: float = 1.3) -> int:
-    """Smallest power-of-two holding peak * headroom (bounded recompiles)."""
-    need = max(int(peak * headroom), _MIN_BUDGET)
-    return 1 << (need - 1).bit_length()
 
 
 def grow_capacity(state: TrainState, new_cap: int) -> TrainState:
@@ -155,6 +148,7 @@ class Trainer:
         self._render_cache: dict = {}
         self._rng = np.random.default_rng(0)
         self._budget_quiet_windows = 0
+        self._budget_quiet_peaks = (0, 0)
         self._key = jax.random.PRNGKey(0)
 
     # ---------------------------------------------------------------- utils
@@ -457,20 +451,41 @@ class Trainer:
         cfg = self.raster_cfg
         new_inst, new_rows = cfg.max_instances, cfg.max_rows
         if peak_inst > cfg.max_instances:
-            new_inst = _pow2_budget(peak_inst)
+            new_inst = pow2_budget(peak_inst)
         if peak_rows > cfg.max_rows:
-            new_rows = _pow2_budget(peak_rows)
+            new_rows = pow2_budget(peak_rows)
         if new_inst == cfg.max_instances and new_rows == cfg.max_rows:
             underused = (
                 peak_inst < 0.35 * cfg.max_instances
-                and cfg.max_instances > _MIN_BUDGET
+                and cfg.max_instances > MIN_RASTER_BUDGET
+            ) or (
+                peak_rows < 0.35 * cfg.max_rows
+                and cfg.max_rows > MIN_RASTER_BUDGET
+            )
+            self._budget_quiet_peaks = (
+                (
+                    max(self._budget_quiet_peaks[0], peak_inst),
+                    max(self._budget_quiet_peaks[1], peak_rows),
+                )
+                if underused
+                else (0, 0)
             )
             self._budget_quiet_windows = (
                 self._budget_quiet_windows + 1 if underused else 0
             )
             if self._budget_quiet_windows >= 50:
-                new_inst = _pow2_budget(peak_inst, headroom=2.0)
+                # Size from the max over the whole quiet stretch, not just
+                # the last window, so a fluctuating peak doesn't re-grow.
+                new_inst = min(
+                    pow2_budget(self._budget_quiet_peaks[0], headroom=2.0),
+                    cfg.max_instances,
+                )
+                new_rows = min(
+                    pow2_budget(self._budget_quiet_peaks[1], headroom=2.0),
+                    cfg.max_rows,
+                )
                 self._budget_quiet_windows = 0
+                self._budget_quiet_peaks = (0, 0)
         if (new_inst, new_rows) == (cfg.max_instances, cfg.max_rows):
             return
         print(
