@@ -70,6 +70,21 @@ def main(argv=None) -> None:
     except OSError as e:
         print(f"Viewer server unavailable ({e}); continuing without GUI")
 
+    mesh = None
+    if args.data_parallel * args.tile_parallel > 1:
+        import jax
+
+        from gsjax.parallel.mesh import make_mesh
+
+        n = args.data_parallel * args.tile_parallel
+        mesh = make_mesh(
+            jax.devices()[:n], data=args.data_parallel, tile=args.tile_parallel
+        )
+        print(
+            f"Training on a (data={args.data_parallel}, "
+            f"tile={args.tile_parallel}) device mesh"
+        )
+
     scene = Scene(model_cfg, capacity=args.capacity)
     trainer = Trainer(
         scene,
@@ -81,6 +96,7 @@ def main(argv=None) -> None:
         gui=gui,
         quiet=args.quiet,
         profile_dir=args.profile_dir,
+        mesh=mesh,
     )
     trainer.train(
         test_iterations=set(args.test_iterations),

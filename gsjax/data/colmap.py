@@ -191,19 +191,32 @@ def read_cameras_text(path: str) -> dict[int, ColmapCamera]:
 
 
 def read_images_text(path: str) -> dict[int, ColmapImage]:
+    """Each image record is an image line followed by a POINTS2D line; the
+    POINTS2D line may be EMPTY (zero observations), so records are paired on
+    RAW lines, not by parity over non-blank lines (reference reads the next
+    line unconditionally, scene/colmap_loader.py:254-268)."""
     images = {}
-    for i, line in enumerate(_data_lines(path)):
-        if i % 2 == 1:
-            continue  # skip the points2D line
-        parts = line.split()
-        image_id = int(parts[0])
-        images[image_id] = ColmapImage(
-            id=image_id,
-            qvec=np.array([float(p) for p in parts[1:5]]),
-            tvec=np.array([float(p) for p in parts[5:8]]),
-            camera_id=int(parts[8]),
-            name=parts[9],
-        )
+    with open(path, "r") as f:
+        expect_points = False
+        for raw in f:
+            line = raw.strip()
+            if line.startswith("#"):
+                continue
+            if expect_points:
+                expect_points = False  # points2D line (possibly empty)
+                continue
+            if not line:
+                continue
+            parts = line.split()
+            image_id = int(parts[0])
+            images[image_id] = ColmapImage(
+                id=image_id,
+                qvec=np.array([float(p) for p in parts[1:5]]),
+                tvec=np.array([float(p) for p in parts[5:8]]),
+                camera_id=int(parts[8]),
+                name=parts[9],
+            )
+            expect_points = True
     return images
 
 

@@ -140,23 +140,58 @@ def create_from_pcd(
         dist2 = jnp.asarray(knn_dist2, jnp.float32)
     scales = jnp.log(jnp.sqrt(jnp.maximum(dist2, 1e-7)))[:, None].repeat(3, axis=1)
 
-    def pad(x, fill=0.0):
-        return jnp.pad(x, [(0, capacity - n)] + [(0, 0)] * (x.ndim - 1),
-                       constant_values=fill)
-
     f_dc = RGB2SH(jnp.asarray(colors, jnp.float32))[:, None, :]  # [N,1,3]
     f_rest = jnp.zeros((n, k - 1, 3), jnp.float32)
     rots = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
     opac = inverse_sigmoid(0.1 * jnp.ones((n, 1), jnp.float32))
 
-    params = GaussianParams(
-        xyz=pad(pts),
-        features_dc=pad(f_dc),
-        features_rest=pad(f_rest),
-        # Dead slots get tiny scale / identity rotation so masked math stays
-        # finite.
-        scaling=pad(scales, fill=-10.0),
-        rotation=pad(rots).at[n:, 0].set(1.0),
-        opacity=pad(opac, fill=-10.0),
+    params = pad_gaussian_params(
+        xyz=pts,
+        features_dc=f_dc,
+        features_rest=f_rest,
+        scaling=scales,
+        rotation=rots,
+        opacity=opac,
+        capacity=capacity,
     )
     return params, GaussianAux.create(capacity, n)
+
+
+# Dead-slot fill convention shared by padding, capacity growth, and densify
+# compaction: tiny log-scale, ~zero logit opacity, identity quaternion —
+# masked math stays finite (zero quats would NaN on normalize).
+DEAD_SCALING_FILL = -10.0
+DEAD_OPACITY_FILL = -10.0
+
+
+def pad_gaussian_params(
+    *,
+    xyz,
+    features_dc,
+    features_rest,
+    scaling,
+    rotation,
+    opacity,
+    capacity: int,
+) -> GaussianParams:
+    """Pad per-Gaussian arrays of length n to `capacity` with the dead-slot
+    fill convention. Raises if capacity is too small."""
+    n = xyz.shape[0]
+    if capacity < n:
+        raise ValueError(f"capacity ({capacity}) < point count ({n})")
+
+    def pad(x, fill=0.0):
+        return jnp.pad(
+            jnp.asarray(x),
+            [(0, capacity - n)] + [(0, 0)] * (x.ndim - 1),
+            constant_values=fill,
+        )
+
+    return GaussianParams(
+        xyz=pad(xyz),
+        features_dc=pad(features_dc),
+        features_rest=pad(features_rest),
+        scaling=pad(scaling, fill=DEAD_SCALING_FILL),
+        rotation=pad(rotation).at[n:, 0].set(1.0),
+        opacity=pad(opacity, fill=DEAD_OPACITY_FILL),
+    )

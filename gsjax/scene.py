@@ -27,7 +27,12 @@ from gsjax.core.cameras import Camera
 from gsjax.data.camera_utils import camera_to_json, load_camera
 from gsjax.data.dataset import CameraInfo, SceneInfo, load_scene_info
 from gsjax.data.ply import load_gaussian_ply, save_gaussian_ply
-from gsjax.model import GaussianAux, GaussianParams, create_from_pcd
+from gsjax.model import (
+    GaussianAux,
+    GaussianParams,
+    create_from_pcd,
+    pad_gaussian_params,
+)
 
 
 @flax.struct.dataclass
@@ -175,23 +180,14 @@ class Scene:
             )
             n = data["xyz"].shape[0]
             cap = capacity or max(1 << (n - 1).bit_length(), 1024)
-
-            def pad(x, fill=0.0):
-                return jnp.asarray(
-                    np.pad(
-                        x,
-                        [(0, cap - n)] + [(0, 0)] * (x.ndim - 1),
-                        constant_values=fill,
-                    )
-                )
-
-            self.params = GaussianParams(
-                xyz=pad(data["xyz"]),
-                features_dc=pad(data["features_dc"]),
-                features_rest=pad(data["features_rest"]),
-                scaling=pad(data["scaling"], -10.0),
-                rotation=pad(data["rotation"]).at[n:, 0].set(1.0),
-                opacity=pad(data["opacity"], -10.0),
+            self.params = pad_gaussian_params(
+                xyz=data["xyz"],
+                features_dc=data["features_dc"],
+                features_rest=data["features_rest"],
+                scaling=data["scaling"],
+                rotation=data["rotation"],
+                opacity=data["opacity"],
+                capacity=cap,
             )
             self.aux = GaussianAux.create(cap, n)
         else:

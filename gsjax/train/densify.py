@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from gsjax.core.transforms import build_rotation
-from gsjax.model import GaussianAux, GaussianParams
+from gsjax.model import (
+    DEAD_OPACITY_FILL,
+    DEAD_SCALING_FILL,
+    GaussianAux,
+    GaussianParams,
+)
 from gsjax.train.optimizer import AdamState
 
 SPLIT_N = 2
@@ -131,8 +136,8 @@ def densify_and_prune(
     base = jax.tree.map(jnp.zeros_like, params)
     base = base.replace(
         rotation=base.rotation.at[:, 0].set(1.0),
-        scaling=jnp.full_like(base.scaling, -10.0),
-        opacity=jnp.full_like(base.opacity, -10.0),
+        scaling=jnp.full_like(base.scaling, DEAD_SCALING_FILL),
+        opacity=jnp.full_like(base.opacity, DEAD_OPACITY_FILL),
     )
     split_template = params.replace(scaling=split_scaling)
 

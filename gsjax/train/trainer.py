@@ -34,7 +34,12 @@ from gsjax.config import (
     RasterConfig,
 )
 from gsjax.image_metrics import psnr as psnr_fn
-from gsjax.model import GaussianAux, GaussianParams
+from gsjax.model import (
+    DEAD_OPACITY_FILL,
+    DEAD_SCALING_FILL,
+    GaussianAux,
+    GaussianParams,
+)
 from gsjax.render.api import render
 from gsjax.scene import CameraBank, Scene
 from gsjax.train.checkpoint import load_checkpoint, save_checkpoint
@@ -61,9 +66,9 @@ def grow_capacity(state: TrainState, new_cap: int) -> TrainState:
         xyz=pad(state.params.xyz),
         features_dc=pad(state.params.features_dc),
         features_rest=pad(state.params.features_rest),
-        scaling=pad(state.params.scaling, -10.0),
+        scaling=pad(state.params.scaling, DEAD_SCALING_FILL),
         rotation=pad(state.params.rotation).at[old:, 0].set(1.0),
-        opacity=pad(state.params.opacity, -10.0),
+        opacity=pad(state.params.opacity, DEAD_OPACITY_FILL),
     )
     opt = AdamState(
         count=state.opt.count,
@@ -106,8 +111,14 @@ class Trainer:
         gui=None,
         quiet: bool = False,
         profile_dir: str | None = None,
+        mesh=None,
     ):
         self.scene = scene
+        # Optional jax.sharding.Mesh with ("data", "tile") axes: trains with
+        # the mesh-sharded step (gsjax/parallel/step.py) instead of the
+        # single-device scan windows.
+        self.mesh = mesh
+        self._sharded_cache: dict = {}
         self.model_cfg = model_cfg
         self.opt_cfg = opt_cfg
         self.pipe_cfg = pipe_cfg
@@ -121,6 +132,7 @@ class Trainer:
         # a steady-state window past the initial compiles.
         self.profile_dir = profile_dir
         self._profile_window = (100, 110)
+        self._profiling = False
 
         self.active_sh_degree = 0
         self.spatial_lr_scale = float(scene.cameras_extent)
@@ -152,18 +164,6 @@ class Trainer:
         self._key = jax.random.PRNGKey(0)
 
     # ---------------------------------------------------------------- utils
-    def _next_view(self) -> tuple[int, int]:
-        """Epoch-shuffled (bank, index) sampling
-        (reference: train.py:75-78)."""
-        if not self._viewpoint_stack:
-            self._viewpoint_stack = [
-                (b, i)
-                for b, bank in enumerate(self.banks)
-                for i in range(bank.count)
-            ]
-            random.shuffle(self._viewpoint_stack)
-        return self._viewpoint_stack.pop()
-
     def n_alive(self) -> int:
         return int(self.state.aux.n_alive())
 
@@ -214,6 +214,24 @@ class Trainer:
             self.background,
             jnp.float32(scaling_modifier),
         )
+
+    def _sharded_step_for(self, bank: CameraBank):
+        """Cached mesh-sharded train step per (resolution, SH degree,
+        raster config)."""
+        from gsjax.parallel.step import make_sharded_train_step
+
+        key = (bank.width, bank.height, self.active_sh_degree, self.raster_cfg)
+        if key not in self._sharded_cache:
+            self._sharded_cache[key] = make_sharded_train_step(
+                self.mesh,
+                height=bank.height,
+                width=bank.width,
+                active_sh_degree=self.active_sh_degree,
+                opt_cfg=self.opt_cfg,
+                raster_cfg=self.raster_cfg,
+                spatial_lr_scale=self.spatial_lr_scale,
+            )
+        return self._sharded_cache[key]
 
     # ------------------------------------------------------------- main loop
     def _next_boundary(self, it: int, events) -> int:
@@ -274,9 +292,18 @@ class Trainer:
         opt = self.opt_cfg
         iters = opt.iterations
         ema_loss = 0.0
+        # --debug_from parity (reference: train.py:81-82 flips pipe.debug on
+        # from this iteration): gsjax's closest debug facility is NaN
+        # checking (jax_debug_nans) — arm it when the window begins. Window
+        # boundaries land on events so the flag flips at the right step.
         events = sorted(
-            set(test_iterations) | set(save_iterations) | set(checkpoint_iterations)
+            set(test_iterations)
+            | set(save_iterations)
+            | set(checkpoint_iterations)
+            | ({debug_from} if debug_from >= 0 else set())
         )
+        if 0 <= debug_from <= self.first_iter:
+            jax.config.update("jax_debug_nans", True)
         try:
             from tqdm import tqdm
 
@@ -299,27 +326,64 @@ class Trainer:
                     self.active_sh_degree += 1
 
             end = min(self._next_boundary(iteration, events), iters)
-            bank_idx, cams = self._next_window(min(max_window, end - iteration))
-            w = len(cams)
-            bank = self.banks[bank_idx]
-            if opt.random_background:
-                bgs = jnp.asarray(self._rng.random((w, 3)), jnp.float32)
-            else:
-                bgs = jnp.broadcast_to(self.background, (w, 3))
+            if self.mesh is None:
+                bank_idx, cams = self._next_window(min(max_window, end - iteration))
+                w = len(cams)
+                bank = self.banks[bank_idx]
+                if opt.random_background:
+                    bgs = jnp.asarray(self._rng.random((w, 3)), jnp.float32)
+                else:
+                    bgs = jnp.broadcast_to(self.background, (w, 3))
 
-            t0 = time.perf_counter()
-            self.state, metrics = train_steps(
-                self.state,
-                bank,
-                jnp.asarray(cams, jnp.int32),
-                bgs,
-                active_sh_degree=self.active_sh_degree,
-                opt_cfg=opt,
-                raster_cfg=self.raster_cfg,
-                spatial_lr_scale=self.spatial_lr_scale,
-            )
-            losses = np.asarray(metrics.loss)
-            dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                self.state, metrics = train_steps(
+                    self.state,
+                    bank,
+                    jnp.asarray(cams, jnp.int32),
+                    bgs,
+                    active_sh_degree=self.active_sh_degree,
+                    opt_cfg=opt,
+                    raster_cfg=self.raster_cfg,
+                    spatial_lr_scale=self.spatial_lr_scale,
+                )
+                losses = np.asarray(metrics.loss)
+                dt = time.perf_counter() - t0
+            else:
+                # Mesh path: ONE optimizer update over a data-parallel batch
+                # of B same-bank cameras (B = mesh.shape["data"]; B=1
+                # matches the reference loop exactly, B>1 is the camera
+                # data-parallel extension). Tiles shard over the "tile"
+                # axis; consumes B cameras from the epoch stack per update.
+                b = self.mesh.shape["data"]
+                bank_idx, cams = self._next_window(b)
+                if len(cams) < b:  # cycle-pad a short epoch tail
+                    cams = (cams * (-(-b // len(cams))))[:b]
+                w = 1
+                bank = self.banks[bank_idx]
+                if opt.random_background:
+                    bg = jnp.asarray(self._rng.random(3), jnp.float32)
+                else:
+                    bg = self.background
+
+                t0 = time.perf_counter()
+                idxs = jnp.asarray(cams, jnp.int32)
+                gt = bank.gt_rgb[idxs].astype(jnp.float32) / 255.0
+                gt = jnp.clip(gt, 0.0, 1.0) * (
+                    bank.alpha[idxs].astype(jnp.float32) / 255.0
+                )
+                step_fn = self._sharded_step_for(bank)
+                self.state, metrics = step_fn(
+                    self.state,
+                    bank.views[idxs],
+                    bank.full_projs[idxs],
+                    bank.centers[idxs],
+                    bank.tan_fovx[idxs],
+                    bank.tan_fovy[idxs],
+                    gt,
+                    bg,
+                )
+                losses = np.asarray(metrics.loss).reshape(-1)
+                dt = time.perf_counter() - t0
             if not np.isfinite(losses[-1]):
                 # Debug snapshot on failure — the gsjax analog of the CUDA
                 # rasterizer's --debug input dump (reference:
@@ -377,12 +441,18 @@ class Trainer:
                     )
                     self.state = self.state.replace(params=params, opt=optst)
 
+            if 0 <= debug_from <= iteration:
+                jax.config.update("jax_debug_nans", True)
+
             if self.profile_dir is not None:
-                if iteration == self._profile_window[0]:
+                lo, hi = self._profile_window
+                if not self._profiling and lo <= iteration < hi:
                     jax.profiler.start_trace(self.profile_dir)
-                elif iteration == self._profile_window[1]:
+                    self._profiling = True
+                elif self._profiling and iteration >= hi:
                     jax.block_until_ready(self.state.params.xyz)
                     jax.profiler.stop_trace()
+                    self._profiling = False
 
             if iteration in test_iterations:
                 self._report_test(iteration)
@@ -496,6 +566,12 @@ class Trainer:
         self.raster_cfg = dataclasses.replace(
             cfg, max_instances=new_inst, max_rows=new_rows
         )
+        # Drop compiled executables for the outgrown config (cache keys
+        # include raster_cfg; stale executables would otherwise live forever).
+        self._render_cache = {
+            k: v for k, v in self._render_cache.items() if k[-1] != cfg
+        }
+        self._sharded_cache.clear()
 
     def _report_test(self, iteration: int) -> None:
         """Held-out evaluation (reference: train.py:156-191)."""

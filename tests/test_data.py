@@ -108,6 +108,30 @@ class TestGaussianPly:
         np.testing.assert_allclose(c2 * 255.0, rgb, atol=1.0)
 
 
+class TestColmapText:
+    def test_images_text_with_empty_points2d(self, tmp_path):
+        """An image with ZERO observed points has an EMPTY POINTS2D line;
+        pairing records by non-blank-line parity misparses everything after
+        it (reference reads the next line unconditionally)."""
+        from gsjax.data.colmap import read_images_text
+
+        p = tmp_path / "images.txt"
+        p.write_text(
+            "# images.txt\n"
+            "1 0.1 0.2 0.3 0.9 1.0 2.0 3.0 1 a.png\n"
+            "384.5 120.2 17 22.1 55.0 3\n"
+            "2 0.4 0.5 0.6 0.7 4.0 5.0 6.0 1 b.png\n"
+            "\n"  # zero observations
+            "3 0.7 0.8 0.9 0.1 7.0 8.0 9.0 2 c.png\n"
+            "1.0 2.0 5\n"
+        )
+        images = read_images_text(str(p))
+        assert sorted(images) == [1, 2, 3]
+        assert images[2].name == "b.png"
+        assert images[3].camera_id == 2
+        np.testing.assert_allclose(images[3].tvec, [7.0, 8.0, 9.0])
+
+
 class TestSplitsAndNorm:
     def _infos(self, n):
         from gsjax.data.dataset import CameraInfo

@@ -139,6 +139,32 @@ def test_trainer_loss_decreases(blender_dataset, tmp_path):
     assert trainer.n_alive() >= 300  # densify ran without wiping the scene
 
 
+def test_trainer_mesh_parallel_loss_decreases(blender_dataset, tmp_path):
+    """The --data_parallel/--tile_parallel path: training on a
+    (data=2, tile=2) device mesh (4 virtual CPU devices) runs the sharded
+    step end-to-end and shrinks the loss."""
+    import jax
+
+    from gsjax.config import ModelConfig, OptimizationConfig
+    from gsjax.parallel.mesh import make_mesh
+    from gsjax.scene import Scene
+    from gsjax.train.trainer import Trainer
+
+    model_cfg = ModelConfig(
+        source_path=blender_dataset, model_path=str(tmp_path / "m4"), eval=False
+    )
+    opt_cfg = OptimizationConfig(
+        iterations=12, densify_from_iter=4, densification_interval=6,
+        opacity_reset_interval=10_000, densify_until_iter=10,
+    )
+    scene = Scene(model_cfg)
+    mesh = make_mesh(jax.devices()[:4], data=2, tile=2)
+    trainer = Trainer(scene, model_cfg, opt_cfg, quiet=True, mesh=mesh)
+    trainer.train(test_iterations=(), save_iterations=(), checkpoint_iterations=())
+    assert int(trainer.state.step) == 12
+    assert trainer.n_alive() >= 300
+
+
 def test_trainer_grows_raster_budget_on_overflow(blender_dataset, tmp_path):
     """A deliberately tiny instance budget must self-correct: the trainer
     re-jits with a grown budget once a window reports overflow (the CUDA
