@@ -251,3 +251,59 @@ class TestDensify:
         assert op.max() <= 0.01 + 1e-6
         np.testing.assert_allclose(np.asarray(o2.mu.opacity), 0.0)
         np.testing.assert_allclose(np.asarray(o2.mu.xyz), 1.0)  # others kept
+
+
+class TestBudgetAdaptation:
+    """_maybe_adapt_budgets state machine, driven directly (no scene)."""
+
+    def _host(self, inst=1 << 20, rows=1 << 20):
+        import types
+
+        from gsjax.config import RasterConfig
+        from gsjax.train.trainer import Trainer
+
+        host = types.SimpleNamespace(
+            raster_cfg=RasterConfig(max_instances=inst, max_rows=rows),
+            _budget_quiet_windows=0,
+            _budget_quiet_peaks=(0, 0),
+            _render_cache={},
+            _sharded_cache={},
+        )
+        host.adapt = types.MethodType(Trainer._maybe_adapt_budgets, host)
+        return host
+
+    def test_grows_immediately_on_overflow(self):
+        h = self._host()
+        h.adapt(1, peak_inst=(1 << 20) + 5, peak_rows=100)
+        assert h.raster_cfg.max_instances >= int(((1 << 20) + 5) * 1.3)
+
+    def test_row_overflow_grows_rows(self):
+        h = self._host()
+        h.adapt(1, peak_inst=100, peak_rows=(1 << 20) + 1)
+        assert h.raster_cfg.max_rows > 1 << 20
+
+    def test_shrinks_after_quiet_stretch_both_axes(self):
+        h = self._host()
+        for i in range(50):
+            h.adapt(i, peak_inst=1 << 17, peak_rows=1 << 16)
+        assert h.raster_cfg.max_instances == 1 << 18  # 2x headroom over peak
+        assert h.raster_cfg.max_rows == 1 << 17
+
+    def test_shrink_sizes_from_stretch_max_not_last_window(self):
+        h = self._host()
+        for i in range(49):
+            h.adapt(i, peak_inst=1 << 18, peak_rows=1 << 17)
+        h.adapt(49, peak_inst=1 << 14, peak_rows=1 << 14)  # dip at the end
+        assert h.raster_cfg.max_instances == 1 << 19  # sized from the max
+
+    def test_no_shrink_below_floor_or_when_busy(self):
+        from gsjax.config import MIN_RASTER_BUDGET
+
+        h = self._host(inst=MIN_RASTER_BUDGET, rows=MIN_RASTER_BUDGET)
+        for i in range(60):
+            h.adapt(i, peak_inst=10, peak_rows=10)
+        assert h.raster_cfg.max_instances == MIN_RASTER_BUDGET
+        h2 = self._host()
+        for i in range(60):
+            h2.adapt(i, peak_inst=1 << 19, peak_rows=1 << 19)  # 50% used
+        assert h2.raster_cfg.max_instances == 1 << 20  # untouched
