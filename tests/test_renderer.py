@@ -195,3 +195,63 @@ class TestGradients:
         np.testing.assert_array_equal(np.asarray(g.opacity[100:]), 0.0)
         np.testing.assert_array_equal(np.asarray(g_off[100:]), 0.0)
         assert np.abs(np.asarray(g.xyz[:100])).max() > 0
+
+
+class TestRenderHooks:
+    """The reference front-end's optional paths (gaussian_renderer/
+    __init__.py:18-93): override_color, scaling_modifier, the
+    --convert_SHs_python / --compute_cov3D_python mirror paths, and
+    markVisible."""
+
+    def test_override_color(self, scene, camera):
+        params, aux = scene
+        red = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (params.capacity, 1))
+        out = render(
+            params, camera, active_sh_degree=3, bg_color=jnp.zeros(3),
+            cfg=CFG, alive=aux.alive, override_color=red,
+        )
+        img = np.asarray(out.image)
+        # Foreground is pure red: G/B channels only ever see background (0).
+        assert img[0].max() > 0.1
+        np.testing.assert_allclose(img[1], 0.0, atol=1e-6)
+        np.testing.assert_allclose(img[2], 0.0, atol=1e-6)
+
+    def test_mirror_paths_match_default(self, scene, camera, oracle_image):
+        params, aux = scene
+        out = render(
+            params, camera, active_sh_degree=3, bg_color=BG, cfg=CFG,
+            alive=aux.alive, compute_cov3d_outside=True,
+            convert_shs_outside=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.image), oracle_image, atol=2e-3, rtol=1e-3
+        )
+
+    def test_scaling_modifier_shrinks_coverage(self, scene, camera):
+        params, aux = scene
+        big = render(
+            params, camera, active_sh_degree=3, bg_color=BG, cfg=CFG,
+            alive=aux.alive, scaling_modifier=1.0,
+        )
+        tiny = render(
+            params, camera, active_sh_degree=3, bg_color=BG, cfg=CFG,
+            alive=aux.alive, scaling_modifier=0.1,
+        )
+        assert int(tiny.num_instances) < int(big.num_instances)
+        # Matches the oracle at the modified scale too.
+        ref = render_oracle(
+            params, camera, active_sh_degree=3, bg_color=BG,
+            alive=aux.alive, scaling_modifier=0.1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiny.image), np.asarray(ref), atol=2e-3, rtol=1e-3
+        )
+
+    def test_mark_visible(self, scene, camera):
+        from gsjax.render.api import mark_visible
+
+        params, aux = scene
+        vis = np.asarray(mark_visible(params.xyz, camera))
+        assert vis.any()
+        behind = params.xyz - jnp.array([0.0, 0.0, 50.0])
+        assert not np.asarray(mark_visible(behind, camera)).any()
