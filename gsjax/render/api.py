@@ -114,11 +114,12 @@ def render(
         cfg,
     )
 
-    tiles_x, tiles_y = num_tiles(camera.height, camera.width, cfg.tile_size)
+    tiles_x, tiles_y = num_tiles(camera.height, camera.width, cfg.tw, cfg.th)
     static = CompositeStatic(
         n_tiles=tiles_x * tiles_y,
         tiles_x=tiles_x,
-        tile_size=cfg.tile_size,
+        tile_w=cfg.tw,
+        tile_h=cfg.th,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
     )
@@ -129,7 +130,8 @@ def render(
         jnp.take(fields, binning.perm, axis=0), binning, static
     )
     color, transmittance = untile_image(
-        tile_color, tile_t, camera.height, camera.width, tiles_x, tiles_y, cfg.tile_size
+        tile_color, tile_t, camera.height, camera.width, tiles_x, tiles_y,
+        cfg.tw, cfg.th,
     )
     image = color + transmittance[None, :, :] * bg_color[:, None, None]
     return RenderOutput(

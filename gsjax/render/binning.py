@@ -75,8 +75,12 @@ class Binning:
     num_rows: jnp.ndarray
 
 
-def num_tiles(height: int, width: int, tile_size: int) -> tuple[int, int]:
-    return -(-width // tile_size), -(-height // tile_size)
+def num_tiles(
+    height: int, width: int, tile_w: int, tile_h: int | None = None
+) -> tuple[int, int]:
+    if tile_h is None:
+        tile_h = tile_w
+    return -(-width // tile_w), -(-height // tile_h)
 
 
 def depth_order(depth: jnp.ndarray) -> jnp.ndarray:
@@ -96,19 +100,22 @@ def tile_rect_ext(
     ext: jnp.ndarray,
     tiles_x: int,
     tiles_y: int,
-    tile_size: int,
+    tile_w: int,
+    tile_h: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Inclusive-exclusive tile rectangle from per-axis extents, clamped to
     the grid (the CUDA getRect helper, with the tight rect of
     preprocess.Projected.ext). Returns (x0, y0, x1, y1) int32."""
+    if tile_h is None:
+        tile_h = tile_w
     mp = lax.stop_gradient(mean_pix)
-    x0 = jnp.clip((mp[:, 0] - ext[:, 0]) / tile_size, 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip((mp[:, 1] - ext[:, 1]) / tile_size, 0, tiles_y).astype(jnp.int32)
+    x0 = jnp.clip((mp[:, 0] - ext[:, 0]) / tile_w, 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip((mp[:, 1] - ext[:, 1]) / tile_h, 0, tiles_y).astype(jnp.int32)
     x1 = jnp.clip(
-        jnp.ceil((mp[:, 0] + ext[:, 0] + 1.0) / tile_size), 0, tiles_x
+        jnp.ceil((mp[:, 0] + ext[:, 0] + 1.0) / tile_w), 0, tiles_x
     ).astype(jnp.int32)
     y1 = jnp.clip(
-        jnp.ceil((mp[:, 1] + ext[:, 1] + 1.0) / tile_size), 0, tiles_y
+        jnp.ceil((mp[:, 1] + ext[:, 1] + 1.0) / tile_h), 0, tiles_y
     ).astype(jnp.int32)
     empty = (ext[:, 0] <= 0.0) | (ext[:, 1] <= 0.0)
     x1 = jnp.where(empty, x0, x1)
@@ -198,21 +205,16 @@ def _row_x_interval(
 # output-safe — the compositor's skip mask zeroes them.
 CULL_QMAX_MARGIN = 1.05
 
-# Table gathers carry integer offsets as f32 lanes; a 12-bit split keeps
-# them exact for budgets up to 2^31 (plain f32 corrupts above 2^24, and the
-# self-sizing budgets are unbounded).
-_SPLIT = 4096.0
+
+def _f2i(v: jnp.ndarray) -> jnp.ndarray:
+    """Bit-preserving f32 -> int32, so float columns can ride an all-int32
+    gather table (one gather per expansion level; a second gather for a
+    separate float table would double the latency-bound cost)."""
+    return lax.bitcast_convert_type(v, jnp.int32)
 
 
-def _split12(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    return (
-        (v // 4096).astype(jnp.float32),
-        (v % 4096).astype(jnp.float32),
-    )
-
-
-def _join12(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
-    return hi.astype(jnp.int32) * 4096 + lo.astype(jnp.int32)
+def _i2f(v: jnp.ndarray) -> jnp.ndarray:
+    return lax.bitcast_convert_type(v, jnp.float32)
 
 
 def _expand(start: jnp.ndarray, budget: int) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -252,11 +254,12 @@ def bin_gaussians(
     ext = lax.stop_gradient(ext)
     qmax = lax.stop_gradient(qmax)
     n = depth.shape[0]
-    tiles_x, tiles_y = num_tiles(height, width, cfg.tile_size)
+    tiles_x, tiles_y = num_tiles(height, width, cfg.tw, cfg.th)
     n_tiles = tiles_x * tiles_y
     P = cfg.max_instances
     R = cfg.max_rows
-    ts = float(cfg.tile_size)
+    tsx = float(cfg.tw)
+    tsy = float(cfg.th)
 
     # --- depth-sort gaussians: one packed N-rate permute ---------------------
     perm = depth_order(depth)
@@ -269,7 +272,7 @@ def bin_gaussians(
     ex = packed[:, 5:7]
     qm = packed[:, 7]
 
-    x0, y0, x1, y1 = tile_rect_ext(mp, ex, tiles_x, tiles_y, cfg.tile_size)
+    x0, y0, x1, y1 = tile_rect_ext(mp, ex, tiles_x, tiles_y, cfg.tw, cfg.th)
     row_counts = y1 - y0  # [N]
     rcum = jnp.cumsum(row_counts)
     rstart = rcum - row_counts
@@ -279,37 +282,37 @@ def bin_gaussians(
     rowner, r = _expand(rstart, R)
     rvalid = r < jnp.minimum(total_rows, R)
     rg = jnp.clip(rowner, 0, n - 1)
-    rstart_hi, rstart_lo = _split12(rstart)
     row_table = jnp.stack(
         [
-            rstart_hi,
-            rstart_lo,
-            y0.astype(jnp.float32),
-            x0.astype(jnp.float32),
-            x1.astype(jnp.float32),
-            mp[:, 0],
-            mp[:, 1],
-            co[:, 0],
-            co[:, 1],
-            co[:, 2],
-            qm * CULL_QMAX_MARGIN + 1e-6,
+            rstart,
+            y0,
+            x0,
+            x1,
+            _f2i(mp[:, 0]),
+            _f2i(mp[:, 1]),
+            _f2i(co[:, 0]),
+            _f2i(co[:, 1]),
+            _f2i(co[:, 2]),
+            _f2i(qm * CULL_QMAX_MARGIN + 1e-6),
         ],
         axis=-1,
-    )  # (N, 11)
-    rt = jnp.take(row_table, rg, axis=0)  # (R, 11)
-    ty = rt[:, 2].astype(jnp.int32) + (r - _join12(rt[:, 0], rt[:, 1]))
+    )  # (N, 10) int32
+    rt = jnp.take(row_table, rg, axis=0)  # (R, 10)
+    ty = rt[:, 1] + (r - rt[:, 0])
     # Exact x-interval of the alpha>=1/255 ellipse within this row's pixel
-    # strip [ty*ts, ty*ts + ts-1], relative to the center (mx, my).
-    y0s = ty.astype(jnp.float32) * ts - rt[:, 6]
+    # strip [ty*tsy, ty*tsy + tsy-1], relative to the center (mx, my).
+    mx = _i2f(rt[:, 4])
+    y0s = ty.astype(jnp.float32) * tsy - _i2f(rt[:, 5])
     x_lo, x_hi, nonempty = _row_x_interval(
-        y0s, y0s + (ts - 1.0), rt[:, 7], rt[:, 8], rt[:, 9], rt[:, 10]
+        y0s, y0s + (tsy - 1.0),
+        _i2f(rt[:, 6]), _i2f(rt[:, 7]), _i2f(rt[:, 8]), _i2f(rt[:, 9]),
     )
-    # Tiles tx whose pixel span [tx*ts, tx*ts + ts-1] meets [mx+x_lo, mx+x_hi],
-    # clamped to the (already grid-clamped) rect x bounds.
-    rx0 = jnp.ceil((rt[:, 5] + x_lo - (ts - 1.0)) / ts).astype(jnp.int32)
-    rx1 = jnp.floor((rt[:, 5] + x_hi) / ts).astype(jnp.int32) + 1
-    rx0 = jnp.maximum(rx0, rt[:, 3].astype(jnp.int32))
-    rx1 = jnp.minimum(rx1, rt[:, 4].astype(jnp.int32))
+    # Tiles tx whose pixel span [tx*tsx, tx*tsx + tsx-1] meets
+    # [mx+x_lo, mx+x_hi], clamped to the (already grid-clamped) rect x bounds.
+    rx0 = jnp.ceil((mx + x_lo - (tsx - 1.0)) / tsx).astype(jnp.int32)
+    rx1 = jnp.floor((mx + x_hi) / tsx).astype(jnp.int32) + 1
+    rx0 = jnp.maximum(rx0, rt[:, 2])
+    rx1 = jnp.minimum(rx1, rt[:, 3])
     inst_counts = jnp.where(
         rvalid & nonempty, jnp.maximum(rx1 - rx0, 0), 0
     )  # [R]
@@ -323,21 +326,10 @@ def bin_gaussians(
     iowner, p = _expand(istart, P)
     ivalid = p < jnp.minimum(total, P)
     ir = jnp.clip(iowner, 0, R - 1)
-    istart_hi, istart_lo = _split12(istart)
-    rg_hi, rg_lo = _split12(rg)
-    inst_table = jnp.stack(
-        [
-            istart_hi,
-            istart_lo,
-            tile_base.astype(jnp.float32),
-            rg_hi,
-            rg_lo,
-        ],
-        axis=-1,
-    )  # (R, 5)
-    it = jnp.take(inst_table, ir, axis=0)  # (P, 5)
-    tile = it[:, 2].astype(jnp.int32) + (p - _join12(it[:, 0], it[:, 1]))
-    g = _join12(it[:, 3], it[:, 4])
+    inst_table = jnp.stack([istart, tile_base, rg], axis=-1)  # (R, 3) int32
+    it = jnp.take(inst_table, ir, axis=0)  # (P, 3)
+    tile = it[:, 1] + (p - it[:, 0])
+    g = it[:, 2]
     tile = jnp.where(ivalid, tile, n_tiles)  # sentinel sorts last
 
     # --- group by tile: stable 1-key sort (depth order rides via owner) -----

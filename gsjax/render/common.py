@@ -85,26 +85,39 @@ def _tri_cumsum(x: jnp.ndarray, exclusive: bool, exact_input: bool = False) -> j
     return out
 
 
-def _lane_sums(channels: list[jnp.ndarray]) -> jnp.ndarray:
-    """Per-channel lane sums on the MXU: channels = [c x (PIX, K)] ->
-    (PIX, c) with column j = sum_k channels[j][p, k].
+def _weighted_color_sums(
+    w: jnp.ndarray, c3: jnp.ndarray, lgl: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """sum_k w[p,k]*c3[ch,k] (PIX,3) and sum_k lgl[p,k] (PIX,1), one MXU
+    launch.
 
-    The channels are packed side by side on the lane axis and multiplied by
-    a block-diagonal 0/1 selector (exact in bf16); inputs are hi/lo split,
-    so the whole reduction is TWO (PIX, cK) x (cK, c) matmul launches —
-    Mosaic rejects lane-contracting dot_generals and a VPU cross-lane
-    reduction tree costs ~7 passes per channel.
+    The color sum is a plain (PIX,K) x (K,3) contraction with the color
+    matrix itself as the RHS — instead of forming w*c per channel on the
+    VPU and reducing against a 0/1 selector, the hi/lo products
+    w_hi*c_hi + w_hi*c_lo + w_lo*c_hi land in separate RHS column blocks
+    (w_lo*c_lo ~ 2^-32 is dropped). The lane sum of lgl rides as a 7th
+    column against a ones block. VPU cost is just the two hi/lo splits;
+    everything else is row-rate RHS assembly.
     """
-    c = len(channels)
-    k = channels[0].shape[-1]
-    x = jnp.concatenate(channels, axis=-1)  # (PIX, c*K)
-    rows = lax.broadcasted_iota(jnp.int32, (c * k, c), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (c * k, c), 1)
-    sel = jnp.where(rows // k == cols, 1.0, 0.0).astype(jnp.bfloat16)
-    hi, lo = _hi_lo(x)
-    return jnp.dot(hi, sel, preferred_element_type=jnp.float32) + jnp.dot(
-        lo, sel, preferred_element_type=jnp.float32
-    )
+    k = w.shape[-1]
+    w_hi, w_lo = _hi_lo(w)
+    l_hi, l_lo = _hi_lo(lgl)
+    c_hi, c_lo = _hi_lo(c3)
+    lhs = jnp.concatenate([w_hi, w_lo, l_hi, l_lo], axis=-1)  # (PIX, 4K)
+    zc = jnp.zeros((k, 3), jnp.bfloat16)
+    z1 = jnp.zeros((k, 1), jnp.bfloat16)
+    o1 = jnp.ones((k, 1), jnp.bfloat16)
+    rhs = jnp.concatenate(
+        [
+            jnp.concatenate([c_hi.T, c_lo.T, z1], axis=-1),  # w_hi rows
+            jnp.concatenate([c_hi.T, zc, z1], axis=-1),  # w_lo rows
+            jnp.concatenate([zc, zc, o1], axis=-1),  # l_hi rows
+            jnp.concatenate([zc, zc, o1], axis=-1),  # l_lo rows
+        ],
+        axis=0,
+    )  # (4K, 7)
+    m = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+    return m[:, :3] + m[:, 3:6], m[:, 6:7]
 
 
 def chunk_alpha(
@@ -169,20 +182,19 @@ def chunk_forward(
     lg = jnp.log1p(-alpha)  # <= 0; alpha <= 0.99 keeps this finite
     cum_excl = _tri_cumsum(lg, exclusive=True)
     t_before = t_in * jnp.exp(cum_excl)  # (PIX, K) unmasked T before k
+    w_pre = alpha * t_before  # pre-mask contribution weights
     # Termination test: the contribution that would push T below eps is
-    # itself skipped, and the pixel stays done forever.
-    test = jnp.where((t_before * (1.0 - alpha) < T_EPS) & (alpha > 0.0), 1.0, 0.0)
+    # itself skipped, and the pixel stays done forever. T after k is
+    # t_before*(1-alpha) = t_before - w_pre.
+    test = jnp.where((t_before - w_pre < T_EPS) & (alpha > 0.0), 1.0, 0.0)
     skip = jnp.minimum(
         done_in + _tri_cumsum(test, exclusive=False, exact_input=True), 1.0
     )
     live = 1.0 - skip  # (PIX, K)
-    w = alpha * t_before * live  # contribution weights
+    w = w_pre * live
     c3 = inst[ROW_R : ROW_B + 1, :]  # (3, K)
-    sums = _lane_sums(
-        [w * c3[0:1, :], w * c3[1:2, :], w * c3[2:3, :], lg * live]
-    )  # (PIX, 4): premultiplied rgb + log-transmittance
-    contrib = sums[:, :3]
-    t_out = t_in * jnp.exp(sums[:, 3:4])
+    contrib, lg_sum = _weighted_color_sums(w, c3, lg * live)
+    t_out = t_in * jnp.exp(lg_sum)
     # skip's last lane == done_in OR any termination in this chunk.
     done_out = skip[:, -1:]
     return t_out, done_out, contrib
@@ -191,11 +203,15 @@ def chunk_forward(
 def moment_basis(px: jnp.ndarray, py: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     """Tile-centered pixel moment basis for the backward's MXU reductions.
 
-    Returns (m [6, PIX] bf16, cx, cy). Centered coordinates px' = px - cx
-    take values k+0.5 with |k| < tile_size/2, so px', py', and their
-    products up to degree 2 are EXACT in bf16 — the moment matmul loses no
-    precision on the basis side. Tile-invariant: compute ONCE per tile,
-    outside the chunk loop.
+    Returns (m [12, PIX] bf16 — the 6 basis rows hi/lo split, stacked — cx,
+    cy). Centered coordinates px' = px - cx take values k+0.5 with
+    |k| < tile_w/2; the degree-2 products need up to ~2*log2(tile_w) + 2
+    mantissa bits (11 bits for 32px tiles), so a single bf16 row would
+    round them and the rounding is AMPLIFIED by the moment-translation
+    cancellation in chunk_backward — the hi/lo split keeps the basis exact
+    for every supported tile width at no real cost (the moment matmul is
+    basis-row-rate). Tile-invariant: compute ONCE per tile, outside the
+    chunk loop.
     """
     cx = 0.5 * (jnp.max(px) + jnp.min(px))
     cy = 0.5 * (jnp.max(py) + jnp.min(py))
@@ -204,8 +220,9 @@ def moment_basis(px: jnp.ndarray, py: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     ones = jnp.ones_like(pxc)
     m = jnp.stack(
         [ones, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc], axis=0
-    )  # (6, PIX)
-    return m.astype(jnp.bfloat16), cx, cy
+    )  # (6, PIX) f32
+    m_hi, m_lo = _hi_lo(m)
+    return jnp.concatenate([m_hi, m_lo], axis=0), cx, cy
 
 
 def chunk_backward(
@@ -214,11 +231,8 @@ def chunk_backward(
     py: jnp.ndarray,
     t_in: jnp.ndarray,
     done_in: jnp.ndarray,
-    prefix_in: jnp.ndarray,
-    c_total: jnp.ndarray,
-    t_final: jnp.ndarray,
+    suffix_in: jnp.ndarray,
     d_color: jnp.ndarray,
-    d_tfinal: jnp.ndarray,
     lane_mask: jnp.ndarray,
     basis: tuple[jnp.ndarray, ...],
 ) -> tuple[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
@@ -230,32 +244,38 @@ def chunk_backward(
                   - dT_final * T_final / (1 - a_k)
     where P_k is the running premultiplied prefix color through k. This is
     the same algebra as the CUDA backward's accum_rec recurrence, evaluated
-    forward-order so no state needs saving.
+    forward-order so no state needs saving. The whole bracket is carried as
+    ONE scalar per pixel instead of the 3-channel prefix color: with
+      A' = sum_ch dC_ch (C_total - prefix_in)_ch + dT_final * T_final
+    and s_k = sum_ch dC_ch c_k,ch,
+      dL/da_k = s_k T_k - (A' - cum_incl(w s)_k) / (1 - a_k),
+    and across chunks A' just decreases by the chunk's total(w s) — cumsum
+    linearity folds the three per-channel suffixes into the one triangular
+    matmul that is needed anyway.
 
     Args:
       inst: (ROWS, K); px/py: (PIX, 1); t_in/done_in: (PIX, 1) replayed state.
-      prefix_in: (PIX, 3) premultiplied color accumulated before this chunk.
-      c_total: (PIX, 3) full-tile forward output color.
-      t_final: (PIX, 1) full-tile final transmittance.
+      suffix_in: (PIX, 1) the A' carry; initialize per tile to
+        sum_ch dC_ch C_total_ch + d_tfinal * t_final.
       d_color: (PIX, 3) cotangent of the tile color.
-      d_tfinal: (PIX, 1) cotangent of the tile transmittance.
       lane_mask: (1, K) f32 0/1 range mask (foreign lanes -> zero grads).
       basis: moment_basis(px, py), hoisted out of the chunk loop.
 
     Returns:
-      (t_out, done_out, prefix_out) replay state, and grads (ROWS, K) with
+      (t_out, done_out, suffix_out) replay state, and grads (ROWS, K) with
       rows [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop].
     """
     alpha, G, keep = chunk_alpha(inst, px, py, lane_mask)
     lg = jnp.log1p(-alpha)
     cum_excl = _tri_cumsum(lg, exclusive=True)
     t_before = t_in * jnp.exp(cum_excl)
-    test = jnp.where((t_before * (1.0 - alpha) < T_EPS) & (alpha > 0.0), 1.0, 0.0)
+    w_pre = alpha * t_before
+    test = jnp.where((t_before - w_pre < T_EPS) & (alpha > 0.0), 1.0, 0.0)
     skip = jnp.minimum(
         done_in + _tri_cumsum(test, exclusive=False, exact_input=True), 1.0
     )
     live = 1.0 - skip
-    w = alpha * t_before * live  # (PIX, K)
+    w = w_pre * live  # (PIX, K)
 
     # dL/dc_k[ch] = sum_px w * dC_ch -> (3, K): one hi/lo MXU contraction over
     # pixels (dC split exactly; w rounded to bf16).
@@ -268,30 +288,31 @@ def chunk_backward(
     )
     d_colors = d_colors[:3] + d_colors[3:]  # (3, K)
 
-    # suffix_k = C_total - prefix_in - cum_wc_k per channel. Since cumsum is
-    # LINEAR, the channel sum over dC of cum(wc) equals cum(w * s) with
-    # s = sum_ch dC_ch c_ch — ONE triangular matmul instead of three:
-    #   d_alpha = s*T_k - (A - cum_incl(w*s)) / (1-alpha),
-    #   A = sum_ch dC_ch (C_total - prefix_in)_ch.
+    # s[p,k] = sum_ch dC[p,ch] c3[ch,k]: a (PIX,3) x (3,K) MXU contraction
+    # (hi/lo products via LHS column blocks; dc_lo*c_lo dropped) instead of
+    # three full (PIX,K) VPU multiplies.
     c3 = inst[ROW_R : ROW_B + 1, :]  # (3, K)
-    s = (
-        d_color[:, 0:1] * c3[0:1, :]
-        + d_color[:, 1:2] * c3[1:2, :]
-        + d_color[:, 2:3] * c3[2:3, :]
+    dc_hi, dc_lo = _hi_lo(d_color)
+    c_hi, c_lo = _hi_lo(c3)
+    s = jnp.dot(
+        jnp.concatenate([dc_hi, dc_hi, dc_lo], axis=-1),
+        jnp.concatenate([c_hi, c_lo, c_hi], axis=0),
+        preferred_element_type=jnp.float32,
     )  # (PIX, K)
     u = w * s
     cum_u = _tri_cumsum(u, exclusive=False)
-    A = jnp.sum(d_color * (c_total - prefix_in), axis=-1, keepdims=True)  # (PIX,1)
     one_minus = 1.0 - alpha
-    # d_tfinal * t_final is tile-constant: fold it into the suffix numerator
-    # so the chunk pays ONE division. Callers may pre-multiply and pass it
-    # via d_tfinal with t_final=1, but keeping both is free:
-    dtt = d_tfinal * t_final  # (PIX, 1)
-    d_alpha = (s * t_before - (A + dtt - cum_u) / one_minus) * live
-    sums = _lane_sums(
-        [w * c3[0:1, :], w * c3[1:2, :], w * c3[2:3, :], lg * live]
-    )  # (PIX, 4)
-    prefix_out = prefix_in + sums[:, :3]
+    d_alpha = (s * t_before - (suffix_in - cum_u) / one_minus) * live
+    suffix_out = suffix_in - cum_u[:, -1:]
+    # Replay transmittance: sum of lg over live lanes, one hi/lo MXU column.
+    lgl = lg * live
+    l_hi, l_lo = _hi_lo(lgl)
+    k2 = lgl.shape[-1]
+    lg_sum = jnp.dot(
+        jnp.concatenate([l_hi, l_lo], axis=-1),
+        jnp.ones((2 * k2, 1), jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
 
     # Chain through alpha = op * exp(power) (straight-through past the cap).
     # All six position/conic gradients are pixel sums of d_power times a
@@ -302,7 +323,8 @@ def chunk_backward(
     op = inst[ROW_OP : ROW_OP + 1, :]
     q = G * d_alpha * keep  # (PIX, K)
     m, cx, cy = basis
-    mq = jnp.dot(m, q.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    mq2 = jnp.dot(m, q.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    mq = mq2[:6] + mq2[6:]
     s0 = mq[0:1, :]
     sx = mq[1:2, :]
     sy = mq[2:3, :]
@@ -346,24 +368,24 @@ def chunk_backward(
     )  # (ROWS, K)
 
     # Replay state for the next chunk.
-    t_out = t_in * jnp.exp(sums[:, 3:4])
+    t_out = t_in * jnp.exp(lg_sum)
     done_out = skip[:, -1:]
-    return (t_out, done_out, prefix_out), grads
+    return (t_out, done_out, suffix_out), grads
 
 
 def tile_pixel_coords(
-    tile_id: jnp.ndarray, tiles_x: int, tile_size: int
+    tile_id: jnp.ndarray, tiles_x: int, tile_w: int, tile_h: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Continuous pixel coordinates for a tile's pixels, shape (PIX, 1).
 
-    Pixel order within a tile is row-major: idx = row * tile_size + col.
+    Pixel order within a tile is row-major: idx = row * tile_w + col.
     """
-    pix = tile_size * tile_size
+    pix = tile_w * tile_h
     tx = tile_id % tiles_x
     ty = tile_id // tiles_x
     idx = lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
-    px = (tx * tile_size + idx % tile_size).astype(jnp.float32)
-    py = (ty * tile_size + idx // tile_size).astype(jnp.float32)
+    px = (tx * tile_w + idx % tile_w).astype(jnp.float32)
+    py = (ty * tile_h + idx // tile_w).astype(jnp.float32)
     return px, py
 
 
@@ -389,16 +411,19 @@ def untile_image(
     width: int,
     tiles_x: int,
     tiles_y: int,
-    tile_size: int,
+    tile_w: int,
+    tile_h: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """[T, PIX, 3] tiles -> ([3, H, W] color, [H, W] transmittance), cropped
     to the true image size."""
-    c = tile_color.reshape(tiles_y, tiles_x, tile_size, tile_size, 3)
+    if tile_h is None:
+        tile_h = tile_w
+    c = tile_color.reshape(tiles_y, tiles_x, tile_h, tile_w, 3)
     c = c.transpose(4, 0, 2, 1, 3).reshape(
-        3, tiles_y * tile_size, tiles_x * tile_size
+        3, tiles_y * tile_h, tiles_x * tile_w
     )[:, :height, :width]
-    t = tile_t.reshape(tiles_y, tiles_x, tile_size, tile_size)
-    t = t.transpose(0, 2, 1, 3).reshape(tiles_y * tile_size, tiles_x * tile_size)[
+    t = tile_t.reshape(tiles_y, tiles_x, tile_h, tile_w)
+    t = t.transpose(0, 2, 1, 3).reshape(tiles_y * tile_h, tiles_x * tile_w)[
         :height, :width
     ]
     return c, t

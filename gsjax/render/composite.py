@@ -43,7 +43,8 @@ class CompositeStatic(NamedTuple):
 
     n_tiles: int
     tiles_x: int
-    tile_size: int
+    tile_w: int
+    tile_h: int
     chunk: int
     interpret: bool
 
@@ -85,7 +86,8 @@ def _composite_fwd(fields, binning, static):
         binning.tile_start,
         n_tiles=static.n_tiles,
         tiles_x=static.tiles_x,
-        tile_size=static.tile_size,
+        tile_w=static.tile_w,
+        tile_h=static.tile_h,
         chunk=static.chunk,
         interpret=static.interpret,
     )
@@ -99,16 +101,22 @@ def _composite_fwd(fields, binning, static):
 def _composite_bwd(static, residuals, cotangents):
     inst, binning, tile_color, tile_t = residuals
     d_color, d_t = cotangents
+    # Per-tile initial suffix A' = sum_ch dC*C_total + dT*T_final, at image
+    # rate (see chunk_backward) — the kernel then needs only this and the
+    # color cotangent per pixel.
+    suffix0 = (
+        jnp.sum(d_color * tile_color, axis=-1, keepdims=True)
+        + (d_t * tile_t)[..., None]
+    )
     inst_grads = composite_backward_pallas(
         inst,
         binning.tile_start,
-        tile_color,
-        tile_t[..., None],
+        suffix0,
         d_color,
-        d_t[..., None],
         n_tiles=static.n_tiles,
         tiles_x=static.tiles_x,
-        tile_size=static.tile_size,
+        tile_w=static.tile_w,
+        tile_h=static.tile_h,
         chunk=static.chunk,
         interpret=static.interpret,
     )

@@ -59,22 +59,26 @@ def _fwd_kernel(
     # inputs
     inst_hbm,
     # outputs
-    color_ref,
-    t_ref,
+    fused_hbm,
     # scratch
     inst_vmem,
     sems,
+    out_vmem,
+    out_sems,
     *,
     tiles_x: int,
-    tile_size: int,
+    tile_w: int,
+    tile_h: int,
     chunk: int,
 ):
     t = pl.program_id(0)
+    last_t = pl.num_programs(0) - 1
     i0 = tile_start_ref[t]
     i1 = tile_start_ref[t + 1]
     c0, n = _chunk_range(i0, i1, chunk)
-    pix = tile_size * tile_size
-    px, py = tile_pixel_coords(t, tiles_x, tile_size)
+    pix = tile_w * tile_h
+    px, py = tile_pixel_coords(t, tiles_x, tile_w, tile_h)
+    nbuf = inst_vmem.shape[0]
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(
@@ -83,41 +87,92 @@ def _fwd_kernel(
             sems.at[slot],
         )
 
-    @pl.when(n > 0)
-    def _():
-        get_dma(0, 0).start()
+    # Warm-up: fill the prefetch pipeline (nbuf-deep — a single chunk of
+    # lookahead leaves the ~HBM-latency-sized bubble per walk that
+    # dominates short per-tile ranges).
+    for k in range(nbuf - 1):
+        @pl.when(k < n)
+        def _(k=k):
+            get_dma(k, k).start()
 
     # NOTE: a while_loop with an all-pixels-done early exit was tried here
     # (the CUDA loop's break); Mosaic cannot software-pipeline across
     # while_loop iterations and throughput dropped 3.5x, far outweighing
     # the skipped work. fori_loop + the per-instance `done` masking inside
-    # chunk_forward keeps the numerics identical.
+    # chunk_forward keeps the numerics identical. The CUDA break's work
+    # saving is recovered with a scalar-predicated compute skip: once EVERY
+    # pixel has terminated, chunk_forward is an exact no-op (zero
+    # contribution, unchanged T/done), so the chunk math is skipped while
+    # the DMA schedule stays static and pipelineable.
     def body(j, carry):
-        t_in, done_in, acc = carry
-        slot = j % 2
+        t_in, done_in, alldone, acc = carry
+        slot = j % nbuf
 
-        @pl.when(j + 1 < n)
+        @pl.when(j + nbuf - 1 < n)
         def _():
-            get_dma((j + 1) % 2, j + 1).start()
+            get_dma((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
 
         get_dma(slot, j).wait()
-        inst = inst_vmem[slot]
-        mask = _lane_mask(c0, j, i0, i1, chunk)
-        t_out, done_out, contrib = chunk_forward(inst, px, py, t_in, done_in, mask)
-        return (t_out, done_out, acc + contrib)
+
+        def compute(op):
+            t_c, done_c, acc_c = op
+            inst = inst_vmem[slot]
+            mask = _lane_mask(c0, j, i0, i1, chunk)
+            t_out, done_out, contrib = chunk_forward(
+                inst, px, py, t_c, done_c, mask
+            )
+            return t_out, done_out, jnp.min(done_out) >= 0.5, acc_c + contrib
+
+        def skip(op):
+            t_c, done_c, acc_c = op
+            return t_c, done_c, jnp.bool_(True), acc_c
+
+        return lax.cond(alldone, skip, compute, (t_in, done_in, acc))
 
     init = (
         jnp.ones((pix, 1), jnp.float32),
         jnp.zeros((pix, 1), jnp.float32),
+        jnp.bool_(False),
         jnp.zeros((pix, 3), jnp.float32),
     )
-    t_fin, _, acc = lax.fori_loop(0, n, body, init)
-    color_ref[0] = acc
-    t_ref[0] = t_fin
+    t_fin, _, _, acc = lax.fori_loop(0, n, body, init)
+
+    # Manual double-buffered output DMA: Pallas's automatic output-block
+    # pipeline costs ~2.4 us per block per grid step (measured — it does
+    # not overlap the copy with the next step's compute under either
+    # dimension semantics); staging through VMEM slots and draining at the
+    # last step makes the write asynchronous. The output rides TRANSPOSED
+    # as (8, PIX) rows [r, g, b, T, pad...] — a lane dim below the 128
+    # tiling (PIX-major (PIX, 3)/(PIX, 1) buffers) cannot be DMA-sliced.
+    slot = t % 2
+
+    def out_dma(slot, tile):
+        return pltpu.make_async_copy(
+            out_vmem.at[slot], fused_hbm.at[tile], out_sems.at[slot]
+        )
+
+    @pl.when(t >= 2)
+    def _():
+        out_dma(slot, t).wait()
+
+    out_vmem[slot, 0:3, :] = acc.T
+    out_vmem[slot, 3:4, :] = t_fin.T
+    out_dma(slot, t).start()
+
+    @pl.when(t == last_t)
+    def _():
+        out_dma(slot, t).wait()
+
+        @pl.when(t >= 1)
+        def _():
+            out_dma((t + 1) % 2, t).wait()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "tiles_x", "tile_size", "chunk", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_tiles", "tiles_x", "tile_w", "tile_h", "chunk", "interpret"
+    ),
 )
 def composite_forward_pallas(
     inst_data: jnp.ndarray,
@@ -125,40 +180,43 @@ def composite_forward_pallas(
     *,
     n_tiles: int,
     tiles_x: int,
-    tile_size: int,
+    tile_w: int,
+    tile_h: int,
     chunk: int,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tile_color [T, PIX, 3], tile_t [T, PIX, 1])."""
-    pix = tile_size * tile_size
+    pix = tile_w * tile_h
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, pix, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, pix, 1), lambda i, *_: (i, 0, 0)),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, chunk), jnp.float32),
+            pltpu.VMEM((4, ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, 8, pix), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, tiles_x=tiles_x, tile_size=tile_size, chunk=chunk
+        _fwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk
     )
-    return pl.pallas_call(
+    fused = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, pix, 3), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, pix, 1), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 8, pix), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            has_side_effects=True,
         ),
         interpret=interpret,
-    )(tile_start, inst_data)
+    )(tile_start, inst_data)[0]
+    # Unpack the transposed fused rows at image rate (XLA fuses these
+    # transposes into the caller's untile reshapes).
+    tile_color = jnp.swapaxes(fused[:, 0:3, :], 1, 2)  # (T, PIX, 3)
+    tile_t = jnp.swapaxes(fused[:, 3:4, :], 1, 2)  # (T, PIX, 1)
+    return tile_color, tile_t
 
 
 def _segsum_kernel(
@@ -293,10 +351,8 @@ def _bwd_kernel(
     # inputs
     inst_hbm,
     zeros_hbm,  # aliased to grads_hbm: pre-zeroed for never-walked chunks
-    color_ref,
-    t_ref,
+    suffix0_ref,
     d_color_ref,
-    d_t_ref,
     # outputs
     grads_hbm,
     # scratch
@@ -308,7 +364,8 @@ def _bwd_kernel(
     carry_smem,
     *,
     tiles_x: int,
-    tile_size: int,
+    tile_w: int,
+    tile_h: int,
     chunk: int,
 ):
     del zeros_hbm
@@ -317,9 +374,9 @@ def _bwd_kernel(
     i0 = tile_start_ref[t]
     i1 = tile_start_ref[t + 1]
     c0, n = _chunk_range(i0, i1, chunk)
-    px, py = tile_pixel_coords(t, tiles_x, tile_size)
+    px, py = tile_pixel_coords(t, tiles_x, tile_w, tile_h)
     basis = moment_basis(px, py)
-    pix = tile_size * tile_size
+    pix = tile_w * tile_h
 
     # carry_smem: [0] = chunk index held in carry_vmem (-1 none);
     #             [1] = flush counter (for staging-slot rotation).
@@ -328,10 +385,13 @@ def _bwd_kernel(
         carry_smem[0] = -1
         carry_smem[1] = 0
 
-    c_total = color_ref[0]  # (PIX, 3)
-    t_final = t_ref[0]  # (PIX, 1)
-    d_color = d_color_ref[0]
-    d_tfinal = d_t_ref[0]  # (PIX, 1)
+    # Per-tile init of the scalar suffix carry A' (see chunk_backward),
+    # precomputed at image rate by the caller — the kernel needs neither
+    # the forward outputs nor the transmittance cotangent separately.
+    suffix0 = suffix0_ref[0]  # (PIX, 1)
+    d_color = d_color_ref[0]  # (PIX, 3)
+
+    nbuf = inst_vmem.shape[0]
 
     def read_dma(slot, j):
         return pltpu.make_async_copy(
@@ -360,50 +420,65 @@ def _bwd_kernel(
         write_dma(slot, carry_smem[0]).start()
         carry_smem[1] = count + 1
 
-    @pl.when(n > 0)
-    def _():
-        read_dma(0, 0).start()
+    # Warm-up: fill the nbuf-deep prefetch pipeline (see forward kernel).
+    for k in range(nbuf - 1):
+        @pl.when(k < n)
+        def _(k=k):
+            read_dma(k, k).start()
 
     # fori (not while-with-early-exit) for cross-iteration pipelining —
-    # see the forward kernel's note.
+    # see the forward kernel's note. Once every pixel has terminated in the
+    # replay, all remaining chunks of this tile produce exactly zero grads
+    # and unchanged replay state, so compute AND carry updates are skipped
+    # (the grad stream is pre-zeroed via the aliased zeros input, and a
+    # neighbouring tile that shares the chunk contributes independently).
     def body(j, carry):
-        t_in, done_in, prefix = carry
-        slot = j % 2
+        t_in, done_in, suffix, alldone = carry
+        slot = j % nbuf
         chunk_idx = c0 + j
 
-        @pl.when(j + 1 < n)
+        @pl.when(j + nbuf - 1 < n)
         def _():
-            read_dma((j + 1) % 2, j + 1).start()
+            read_dma((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
 
         read_dma(slot, j).wait()
-        inst = inst_vmem[slot]
-        mask = _lane_mask(c0, j, i0, i1, chunk)
-        (t_out, done_out, prefix_out), grads = chunk_backward(
-            inst, px, py, t_in, done_in, prefix,
-            c_total, t_final, d_color, d_tfinal, mask, basis,
-        )
 
-        held = carry_smem[0]
+        def compute(op):
+            t_c, done_c, suffix_c = op
+            inst = inst_vmem[slot]
+            mask = _lane_mask(c0, j, i0, i1, chunk)
+            (t_out, done_out, suffix_out), grads = chunk_backward(
+                inst, px, py, t_c, done_c, suffix_c, d_color, mask, basis,
+            )
 
-        @pl.when(chunk_idx == held)
-        def _():
-            carry_vmem[:] = carry_vmem[:] + grads
+            held = carry_smem[0]
 
-        @pl.when(chunk_idx != held)
-        def _():
-            @pl.when(held >= 0)
+            @pl.when(chunk_idx == held)
             def _():
-                flush_carry()
+                carry_vmem[:] = carry_vmem[:] + grads
 
-            carry_vmem[:] = grads
-            carry_smem[0] = chunk_idx
+            @pl.when(chunk_idx != held)
+            def _():
+                @pl.when(held >= 0)
+                def _():
+                    flush_carry()
 
-        return (t_out, done_out, prefix_out)
+                carry_vmem[:] = grads
+                carry_smem[0] = chunk_idx
+
+            return t_out, done_out, suffix_out, jnp.min(done_out) >= 0.5
+
+        def skip(op):
+            t_c, done_c, suffix_c = op
+            return t_c, done_c, suffix_c, jnp.bool_(True)
+
+        return lax.cond(alldone, skip, compute, (t_in, done_in, suffix))
 
     init = (
         jnp.ones((pix, 1), jnp.float32),
         jnp.zeros((pix, 1), jnp.float32),
-        jnp.zeros((pix, 3), jnp.float32),
+        suffix0,
+        jnp.bool_(False),
     )
     lax.fori_loop(0, n, body, init)
 
@@ -426,24 +501,33 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "tiles_x", "tile_size", "chunk", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_tiles", "tiles_x", "tile_w", "tile_h", "chunk", "interpret"
+    ),
 )
 def composite_backward_pallas(
     inst_data: jnp.ndarray,
     tile_start: jnp.ndarray,
-    tile_color: jnp.ndarray,
-    tile_t: jnp.ndarray,
+    suffix0: jnp.ndarray,
     d_tile_color: jnp.ndarray,
-    d_tile_t: jnp.ndarray,
     *,
     n_tiles: int,
     tiles_x: int,
-    tile_size: int,
+    tile_w: int,
+    tile_h: int,
     chunk: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns per-instance gradients (ROWS, P); rows as in common.py."""
-    pix = tile_size * tile_size
+    """Returns per-instance gradients (ROWS, P); rows as in common.py.
+
+    Args:
+      suffix0: [T, PIX, 1] per-tile initial A' suffix (see chunk_backward):
+        sum_ch dC_ch * C_total_ch + dT_final * T_final, computed at image
+        rate by the caller so the kernel streams only two pixel blocks.
+      d_tile_color: [T, PIX, 3] tile-color cotangents.
+    """
+    pix = tile_w * tile_h
     p = inst_data.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -451,23 +535,21 @@ def composite_backward_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, pix, 3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, pix, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, pix, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, pix, 1), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, chunk), jnp.float32),
+            pltpu.VMEM((4, ROWS, chunk), jnp.float32),  # read slots
             pltpu.VMEM((ROWS, chunk), jnp.float32),
             pltpu.VMEM((2, ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, tiles_x=tiles_x, tile_size=tile_size, chunk=chunk
+        _bwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk
     )
     # The grad stream is aliased to a zeros input: chunks past the live
     # stream (dead/sentinel slots) are never walked by any tile and must
@@ -487,8 +569,6 @@ def composite_backward_pallas(
         tile_start,
         inst_data,
         zeros,
-        tile_color,
-        tile_t,
+        suffix0,
         d_tile_color,
-        d_tile_t,
     )[0]

@@ -21,7 +21,8 @@ def composite_tiles_jax(
     binning: Binning,
     n_tiles: int,
     tiles_x: int,
-    tile_size: int,
+    tile_w: int,
+    tile_h: int,
     chunk: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Composite the depth-sorted instance stream into per-tile buffers.
@@ -29,13 +30,13 @@ def composite_tiles_jax(
     Args:
       inst_data: (ROWS, P) gathered instance fields (see common.py).
       binning: instance layout (tile_start ranges).
-      n_tiles/tiles_x/tile_size/chunk: static geometry.
+      n_tiles/tiles_x/tile_w/tile_h/chunk: static geometry.
 
     Returns:
       tile_color: [n_tiles, PIX, 3] premultiplied color (no background).
       tile_t: [n_tiles, PIX] final transmittance.
     """
-    pix = tile_size * tile_size
+    pix = tile_w * tile_h
     tile_start = binning.tile_start
     pidx = jnp.arange(pix, dtype=jnp.int32)
 
@@ -47,8 +48,8 @@ def composite_tiles_jax(
         c0, n = _chunk_range(i0, i1, chunk)
         tx = t % tiles_x
         ty = t // tiles_x
-        px = (tx * tile_size + pidx % tile_size).astype(jnp.float32)[:, None]
-        py = (ty * tile_size + pidx // tile_size).astype(jnp.float32)[:, None]
+        px = (tx * tile_w + pidx % tile_w).astype(jnp.float32)[:, None]
+        py = (ty * tile_h + pidx // tile_w).astype(jnp.float32)[:, None]
 
         def body(j, carry):
             t_in, done_in, acc = carry

@@ -107,12 +107,13 @@ def main():
                      fence=lambda o: o[0])
 
     dtc = jnp.ones_like(tc)
-    dtt = jnp.ones_like(tt3)
-    bwdk = jax.jit(lambda i, ts, c, t, dc, dt: composite_backward_pallas(
-        i, ts, c, t, dc, dt, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
-        tile_size=static.tile_size, chunk=static.chunk, interpret=static.interpret))
+    sfx0 = jnp.sum(dtc * tc, axis=-1, keepdims=True) + tt3
+    bwdk = jax.jit(lambda i, ts, s0, dc: composite_backward_pallas(
+        i, ts, s0, dc, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
+        tile_w=static.tile_w, tile_h=static.tile_h, chunk=static.chunk,
+        interpret=static.interpret))
     ig = timeit("composite bwd kernel", bwdk, inst, binning.tile_start,
-                tc, tt3, dtc, dtt)
+                sfx0, dtc)
 
     def reduce_grads(inst_grads, owners, gm_start):
         from jax import lax

@@ -75,7 +75,7 @@ class TestForward:
             jnp.take(fields, binning.perm, axis=0), binning.sorted_owner
         )
         tc, tt = composite_tiles_jax(
-            inst, binning, tiles_x * tiles_y, tiles_x, CFG.tile_size, CFG.chunk
+            inst, binning, tiles_x * tiles_y, tiles_x, CFG.tw, CFG.th, CFG.chunk
         )
         color, trans = untile_image(
             tc, tt, camera.height, camera.width, tiles_x, tiles_y, CFG.tile_size
@@ -255,3 +255,60 @@ class TestRenderHooks:
         assert vis.any()
         behind = params.xyz - jnp.array([0.0, 0.0, 50.0])
         assert not np.asarray(mark_visible(behind, camera)).any()
+
+
+class TestRectTiles:
+    """Rectangular tile shapes (RasterConfig.tile_w/tile_h). Bigger tiles
+    shrink the (gaussian, tile) pair count that every instance-rate stage
+    pays for; parity with the oracle must be shape-independent."""
+
+    @pytest.mark.parametrize("tw,th", [(32, 16), (32, 32), (8, 16)])
+    def test_forward_matches_oracle(self, scene, camera, oracle_image, tw, th):
+        params, aux = scene
+        cfg = RasterConfig(
+            tile_w=tw, tile_h=th, chunk=128, max_instances=1 << 14,
+            interpret=True,
+        )
+        out = render(
+            params, camera, active_sh_degree=3, bg_color=BG, cfg=cfg,
+            alive=aux.alive,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.image), oracle_image, atol=2e-3, rtol=1e-3
+        )
+
+    def test_grads_match_oracle_32x16(self, scene, camera):
+        params, aux = scene
+        cfg = RasterConfig(
+            tile_w=32, tile_h=16, chunk=128, max_instances=1 << 14,
+            interpret=True,
+        )
+        target = jnp.zeros((3, H, W))
+        offset = jnp.zeros((params.capacity, 2))
+
+        def loss_tiled(p, off):
+            out = render(
+                p, camera, active_sh_degree=3, bg_color=BG, cfg=cfg,
+                alive=aux.alive, mean2d_offset=off,
+            )
+            return jnp.mean((out.image - target) ** 2)
+
+        def loss_oracle(p, off):
+            img = render_oracle(
+                p, camera, active_sh_degree=3, bg_color=BG,
+                alive=aux.alive, mean2d_offset=off,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        g_tiled = jax.grad(loss_tiled, (0, 1))(params, offset)
+        g_oracle = jax.grad(loss_oracle, (0, 1))(params, offset)
+        for name in ("xyz", "scaling", "rotation", "opacity"):
+            a = np.asarray(getattr(g_tiled[0], name))
+            b = np.asarray(getattr(g_oracle[0], name))
+            scale = max(np.abs(b).max(), 1e-8)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=5e-3, err_msg=f"grad mismatch {name}"
+            )
+        a, b = np.asarray(g_tiled[1]), np.asarray(g_oracle[1])
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
