@@ -42,8 +42,10 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 # LPIPS v0.1 (JAX)
 # --------------------------------------------------------------------------
 
-# ImageNet normalization used by LPIPS's ScalingLayer
-# (reference: lpipsPyTorch/modules/lpips.py — shift/scale constants).
+# Input z-score constants of the reference's BaseNet (reference:
+# lpipsPyTorch/modules/networks.py:44-52). NOTE: the reference applies
+# (x - mean) / std to the [0,1] image DIRECTLY (networks.py:58-60) — it
+# does NOT remap to [-1,1] first like the original richzhang ScalingLayer.
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
@@ -116,14 +118,16 @@ def lpips(
         x, y = x[None], y[None]
     shift = jnp.asarray(_SHIFT)[None, :, None, None]
     scale = jnp.asarray(_SCALE)[None, :, None, None]
-    xn = (2.0 * x - 1.0 - shift) / scale
-    yn = (2.0 * y - 1.0 - shift) / scale
+    xn = (x - shift) / scale
+    yn = (y - shift) / scale
     fx = _vgg_features(xn, w)
     fy = _vgg_features(yn, w)
     total = 0.0
     for i, (a, b) in enumerate(zip(fx, fy)):
-        a = a / jnp.linalg.norm(a, axis=1, keepdims=True).clip(1e-10)
-        b = b / jnp.linalg.norm(b, axis=1, keepdims=True).clip(1e-10)
+        # Unit-normalize along channels, eps ADDED to the norm (reference:
+        # lpipsPyTorch/modules/utils.py:6-8).
+        a = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-10)
+        b = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + 1e-10)
         d = (a - b) ** 2
         head = w[f"lin{i}.w"]  # [1, C, 1, 1]
         total = total + jnp.mean(jnp.sum(d * head, axis=1), axis=(1, 2))
