@@ -15,10 +15,18 @@ import jax
 
 def maybe_init_distributed() -> bool:
     """Initialize the multi-host process group when launched under a
-    multi-host coordinator (env-driven, as on TPU pods). Safe no-op for
-    single-process runs. Returns True when distributed mode is active."""
-    if jax.process_count() > 1:
-        return True
+    multi-host coordinator. Safe no-op for single-process runs. Returns
+    True when distributed mode is active.
+
+    MUST run before anything touches the XLA backend (jax.devices(),
+    any computation) — jax.distributed.initialize refuses afterwards —
+    so the decision is driven purely by environment variables:
+    COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID for explicit launches
+    (tests/test_multihost.py exercises this across real processes), or
+    JAX_COORDINATOR_ADDRESS for environments jax can auto-detect (TPU
+    pods, SLURM), where initialize() infers the rest itself."""
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     addr = os.environ.get("COORDINATOR_ADDRESS")
     n = os.environ.get("NUM_PROCESSES")
     pid = os.environ.get("PROCESS_ID")
@@ -28,6 +36,9 @@ def maybe_init_distributed() -> bool:
             num_processes=int(n),
             process_id=int(pid),
         )
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
         return True
     return False
 
