@@ -51,7 +51,7 @@ def make_sharded_train_step(
     """
     n_tile = mesh.shape["tile"]
     n_data = mesh.shape["data"]
-    ts = raster_cfg.tile_size
+    ts = raster_cfg.th
     rows = slab_rows(height, n_tile, ts)
 
     def local_loss(params, offset, camera, gt, bg, alive):
@@ -137,17 +137,7 @@ def make_sharded_train_step(
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, donate_argnames=("state",))
-    def step(
-        state: TrainState,
-        views: jnp.ndarray,
-        projs: jnp.ndarray,
-        centers: jnp.ndarray,
-        tanx: jnp.ndarray,
-        tany: jnp.ndarray,
-        gt: jnp.ndarray,
-        bg: jnp.ndarray,
-    ) -> tuple[TrainState, StepMetrics]:
+    def one_step(state, views, projs, centers, tanx, tany, gt, bg):
         g_params, accum_d, denom_d, radii_max, loss, l1, ninst = sharded(
             state.params, state.aux.alive, views, projs, centers, tanx, tany,
             gt, bg,
@@ -169,4 +159,60 @@ def make_sharded_train_step(
             loss=loss, l1=l1, num_instances=ninst[0], num_rows=ninst[1]
         )
 
+    @functools.partial(jax.jit, donate_argnames=("state",))
+    def step(
+        state: TrainState,
+        views: jnp.ndarray,
+        projs: jnp.ndarray,
+        centers: jnp.ndarray,
+        tanx: jnp.ndarray,
+        tany: jnp.ndarray,
+        gt: jnp.ndarray,
+        bg: jnp.ndarray,
+    ) -> tuple[TrainState, StepMetrics]:
+        return one_step(state, views, projs, centers, tanx, tany, gt, bg)
+
+    step.one_step = one_step
     return step
+
+
+def make_sharded_train_steps(
+    mesh: Mesh,
+    *,
+    height: int,
+    width: int,
+    active_sh_degree: int,
+    opt_cfg: OptimizationConfig,
+    raster_cfg: RasterConfig,
+    spatial_lr_scale: float,
+):
+    """Scanned multi-step window over the sharded step (the mesh-path twin
+    of gsjax.train.step.train_steps): one dispatch drives W optimizer
+    updates on-device, removing the per-step host round trip the
+    single-step path pays.
+
+    Returns steps(state, views [W,B,4,4], projs, centers, tanx, tany,
+    gt [W,B,3,H,W], bgs [W,3]) -> (state, metrics with [W]-leading leaves),
+    where B = mesh.shape["data"].
+    """
+    single = make_sharded_train_step(
+        mesh,
+        height=height,
+        width=width,
+        active_sh_degree=active_sh_degree,
+        opt_cfg=opt_cfg,
+        raster_cfg=raster_cfg,
+        spatial_lr_scale=spatial_lr_scale,
+    )
+    one_step = single.one_step
+
+    @functools.partial(jax.jit, donate_argnames=("state",))
+    def steps(state, views, projs, centers, tanx, tany, gt, bgs):
+        def body(s, xs):
+            return one_step(s, *xs)
+
+        return lax.scan(
+            body, state, (views, projs, centers, tanx, tany, gt, bgs)
+        )
+
+    return steps

@@ -215,14 +215,14 @@ class Trainer:
             jnp.float32(scaling_modifier),
         )
 
-    def _sharded_step_for(self, bank: CameraBank):
-        """Cached mesh-sharded train step per (resolution, SH degree,
-        raster config)."""
-        from gsjax.parallel.step import make_sharded_train_step
+    def _sharded_steps_for(self, bank: CameraBank):
+        """Cached mesh-sharded scanned-window train step per (resolution,
+        SH degree, raster config)."""
+        from gsjax.parallel.step import make_sharded_train_steps
 
         key = (bank.width, bank.height, self.active_sh_degree, self.raster_cfg)
         if key not in self._sharded_cache:
-            self._sharded_cache[key] = make_sharded_train_step(
+            self._sharded_cache[key] = make_sharded_train_steps(
                 self.mesh,
                 height=bank.height,
                 width=bank.width,
@@ -349,21 +349,22 @@ class Trainer:
                 losses = np.asarray(metrics.loss)
                 dt = time.perf_counter() - t0
             else:
-                # Mesh path: ONE optimizer update over a data-parallel batch
-                # of B same-bank cameras (B = mesh.shape["data"]; B=1
-                # matches the reference loop exactly, B>1 is the camera
-                # data-parallel extension). Tiles shard over the "tile"
-                # axis; consumes B cameras from the epoch stack per update.
+                # Mesh path: scanned window of optimizer updates, each over
+                # a data-parallel batch of B same-bank cameras
+                # (B = mesh.shape["data"]; B=1, W=1 matches the reference
+                # loop exactly). Tiles shard over the "tile" axis; one
+                # dispatch drives the whole window on-device, like the
+                # single-device scanned path above.
                 b = self.mesh.shape["data"]
-                bank_idx, cams = self._next_window(b)
-                if len(cams) < b:  # cycle-pad a short epoch tail
-                    cams = (cams * (-(-b // len(cams))))[:b]
-                w = 1
+                w = min(max_window, end - iteration)
+                bank_idx, cams = self._next_window(w * b)
+                if len(cams) < w * b:  # cycle-pad a short epoch tail
+                    cams = (cams * (-(-(w * b) // len(cams))))[: w * b]
                 bank = self.banks[bank_idx]
                 if opt.random_background:
-                    bg = jnp.asarray(self._rng.random(3), jnp.float32)
+                    bgs = jnp.asarray(self._rng.random((w, 3)), jnp.float32)
                 else:
-                    bg = self.background
+                    bgs = jnp.broadcast_to(self.background, (w, 3))
 
                 t0 = time.perf_counter()
                 idxs = jnp.asarray(cams, jnp.int32)
@@ -371,16 +372,20 @@ class Trainer:
                 gt = jnp.clip(gt, 0.0, 1.0) * (
                     bank.alpha[idxs].astype(jnp.float32) / 255.0
                 )
-                step_fn = self._sharded_step_for(bank)
-                self.state, metrics = step_fn(
+
+                def wb(x):  # [w*b, ...] -> [w, b, ...]
+                    return x.reshape((w, b) + x.shape[1:])
+
+                steps_fn = self._sharded_steps_for(bank)
+                self.state, metrics = steps_fn(
                     self.state,
-                    bank.views[idxs],
-                    bank.full_projs[idxs],
-                    bank.centers[idxs],
-                    bank.tan_fovx[idxs],
-                    bank.tan_fovy[idxs],
-                    gt,
-                    bg,
+                    wb(bank.views[idxs]),
+                    wb(bank.full_projs[idxs]),
+                    wb(bank.centers[idxs]),
+                    wb(bank.tan_fovx[idxs]),
+                    wb(bank.tan_fovy[idxs]),
+                    wb(gt),
+                    bgs,
                 )
                 losses = np.asarray(metrics.loss).reshape(-1)
                 dt = time.perf_counter() - t0
@@ -455,7 +460,9 @@ class Trainer:
                     self._profiling = False
 
             if iteration in test_iterations:
-                self._report_test(iteration)
+                self._report_test(
+                    iteration, first_test=iteration == min(test_iterations)
+                )
             if iteration in save_iterations:
                 print(f"\n[ITER {iteration}] Saving Gaussians")
                 self.scene.save(
@@ -573,7 +580,7 @@ class Trainer:
         }
         self._sharded_cache.clear()
 
-    def _report_test(self, iteration: int) -> None:
+    def _report_test(self, iteration: int, first_test: bool = False) -> None:
         """Held-out evaluation (reference: train.py:156-191)."""
         for name, banks in (
             ("test", self.scene.get_test_banks()),
@@ -587,10 +594,24 @@ class Trainer:
             if not views:
                 continue
             l1s, psnrs = [], []
-            for b, i in views:
+            for idx, (b, i) in enumerate(views):
                 bank = banks[b]
                 cam, gt = bank.pick(jnp.int32(i))
                 img = jnp.clip(self.render_view(cam), 0.0, 1.0)
+                if self.tb is not None and idx < 5:
+                    # First-5 renders, GT once at the first test iteration
+                    # (reference: train.py:176-179).
+                    self.tb.add_images(
+                        f"{name}_view_{b}_{i}/render",
+                        np.asarray(img)[None],
+                        global_step=iteration,
+                    )
+                    if first_test:
+                        self.tb.add_images(
+                            f"{name}_view_{b}_{i}/ground_truth",
+                            np.asarray(jnp.clip(gt, 0.0, 1.0))[None],
+                            global_step=iteration,
+                        )
                 l1s.append(float(jnp.mean(jnp.abs(img - gt))))
                 psnrs.append(float(psnr_fn(img, gt).mean()))
             l1 = float(np.mean(l1s))
@@ -602,6 +623,13 @@ class Trainer:
                 self.tb.add_scalar(f"{name}/loss_viewpoint - l1_loss", l1, iteration)
                 self.tb.add_scalar(f"{name}/loss_viewpoint - psnr", ps, iteration)
         if self.tb is not None:
+            # Opacity histogram over live Gaussians + total points
+            # (reference: train.py:188-189).
+            alive = np.asarray(self.state.aux.alive)
+            opac = np.asarray(self.state.params.get_opacity()).reshape(-1)
+            self.tb.add_histogram(
+                "scene/opacity_histogram", opac[alive], iteration
+            )
             self.tb.add_scalar("total_points", self.n_alive(), iteration)
 
     def _poll_gui(self, iteration: int, total_iters: int) -> None:

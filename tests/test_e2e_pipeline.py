@@ -187,3 +187,48 @@ def test_trainer_grows_raster_budget_on_overflow(blender_dataset, tmp_path):
     assert trainer.raster_cfg.max_rows > 128
     # Grown budgets hold the scene: the last windows saw no overflow.
     assert trainer.raster_cfg.max_instances >= 1 << 16
+
+
+def test_trainer_tb_report_images_and_histogram(blender_dataset, tmp_path):
+    """Test-iteration TensorBoard report parity (reference:
+    train.py:176-189): first-5 render images, ground-truth images at the
+    first test iteration, the opacity histogram, and total_points must all
+    land in the event file."""
+    from torch.utils.tensorboard import SummaryWriter
+
+    from gsjax.config import ModelConfig, OptimizationConfig
+    from gsjax.scene import Scene
+    from gsjax.train.trainer import Trainer
+
+    model_path = str(tmp_path / "m_tb")
+    model_cfg = ModelConfig(
+        source_path=blender_dataset, model_path=model_path, eval=False
+    )
+    opt_cfg = OptimizationConfig(
+        iterations=8, densify_from_iter=10_000,
+        opacity_reset_interval=10_000, densify_until_iter=0,
+    )
+    scene = Scene(model_cfg)
+    tb = SummaryWriter(model_path)
+    trainer = Trainer(scene, model_cfg, opt_cfg, quiet=True, tb_writer=tb)
+    trainer.train(
+        test_iterations=(8,), save_iterations=(), checkpoint_iterations=()
+    )
+    tb.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(
+        model_path, size_guidance={"images": 0, "histograms": 0, "scalars": 0}
+    )
+    acc.Reload()
+    tags = acc.Tags()
+    image_tags = set(tags["images"])
+    assert any(t.endswith("/render") for t in image_tags), image_tags
+    assert any(t.endswith("/ground_truth") for t in image_tags), image_tags
+    assert "scene/opacity_histogram" in tags["histograms"]
+    scalar_tags = set(tags["scalars"])
+    assert "total_points" in scalar_tags
+    assert "train/loss_viewpoint - psnr" in scalar_tags
