@@ -1,0 +1,129 @@
+"""Train-to-quality demonstration on the real TPU (VERDICT round-1 #2).
+
+Generates the ray-traced multi-sphere dataset (tools/synthetic_scene.py),
+trains with the DEFAULT published schedule for --iterations steps (SH ramp
+to 3, densify from 500, opacity resets every 3k, self-sizing raster
+budgets, capacity growth), evaluating held-out PSNR at checkpoints, and
+writes the full trajectory (PSNR curve, point counts, budget events,
+wall-clock) to artifacts/quality_run.json.
+
+Usage: python tools/quality_run.py [--iterations 6000] [--out artifacts/quality_run.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=6000)
+    ap.add_argument("--out", default="artifacts/quality_run.json")
+    ap.add_argument("--scene_dir", default="/tmp/gsjax_quality_scene")
+    ap.add_argument("--model_dir", default="/tmp/gsjax_quality_model")
+    args = ap.parse_args()
+
+    from tools.synthetic_scene import generate
+
+    if not os.path.exists(
+        os.path.join(args.scene_dir, "transforms_train.json")
+    ):
+        print("generating scene ...", flush=True)
+        generate(args.scene_dir)
+
+    import jax
+
+    from torch.utils.tensorboard import SummaryWriter
+
+    from gsjax.config import ModelConfig, OptimizationConfig
+    from gsjax.scene import Scene
+    from gsjax.train.trainer import Trainer
+
+    model_cfg = ModelConfig(
+        source_path=args.scene_dir, model_path=args.model_dir, eval=True
+    )
+    opt_cfg = OptimizationConfig(iterations=args.iterations)
+    os.makedirs(args.model_dir, exist_ok=True)
+    scene = Scene(model_cfg)
+    tb = SummaryWriter(args.model_dir)
+    trainer = Trainer(scene, model_cfg, opt_cfg, tb_writer=tb)
+
+    test_iters = sorted(
+        {i for i in (200, 500, 1000, 1500, 2000, 3000, 4000, 5000, 6000,
+                     8000, 10_000, 15_000, 20_000, 25_000, 30_000)
+         if i <= args.iterations} | {args.iterations}
+    )
+
+    # Capture the trainer's stdout (budget adaptation + eval lines are
+    # printed there) while still forwarding to the console.
+    class Tee(io.TextIOBase):
+        def __init__(self, *sinks):
+            self.sinks = sinks
+
+        def write(self, s):
+            for k in self.sinks:
+                k.write(s)
+                k.flush()
+            return len(s)
+
+    captured = io.StringIO()
+    real_stdout = sys.stdout
+    sys.stdout = Tee(real_stdout, captured)
+    t0 = time.perf_counter()
+    try:
+        trainer.train(
+            test_iterations=tuple(test_iters),
+            save_iterations=(args.iterations,),
+            checkpoint_iterations=(),
+        )
+    finally:
+        sys.stdout = real_stdout
+    wall = time.perf_counter() - t0
+    tb.close()
+
+    log = captured.getvalue()
+    evals = [
+        {"iteration": int(m.group(1)), "split": m.group(2),
+         "l1": float(m.group(3)), "psnr": float(m.group(4))}
+        for m in re.finditer(
+            r"\[ITER (\d+)\] Evaluating (\w+): L1 ([\d.]+) PSNR ([\d.]+)", log
+        )
+    ]
+    budget_events = re.findall(r"\[ITER \d+\] raster budgets [^\n]+", log)
+    test_curve = [e for e in evals if e["split"] == "test"]
+
+    result = {
+        "dataset": "ray-traced spheres+checkerboard (tools/synthetic_scene.py)",
+        "resolution": 400,
+        "iterations": args.iterations,
+        "backend": jax.default_backend(),
+        "wall_clock_s": round(wall, 1),
+        "final_points": int(trainer.n_alive()),
+        "capacity": int(trainer.state.params.capacity),
+        "final_raster_budgets": {
+            "max_instances": trainer.raster_cfg.max_instances,
+            "max_rows": trainer.raster_cfg.max_rows,
+        },
+        "budget_events": budget_events,
+        "test_psnr_curve": test_curve,
+        "train_evals": [e for e in evals if e["split"] == "train"],
+        "final_test_psnr": test_curve[-1]["psnr"] if test_curve else None,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"\nquality run complete: final test PSNR "
+          f"{result['final_test_psnr']} in {wall:.0f}s "
+          f"-> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
