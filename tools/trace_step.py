@@ -1,0 +1,89 @@
+"""Trace one bench train step with jax.profiler and dump the per-op
+device-time breakdown from the xplane proto — finds the wall-clock that
+stage-isolated timing misses (fusions, transposes, layout changes,
+dispatch gaps)."""
+
+from __future__ import annotations
+
+import collections
+import glob
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsjax.config import RasterConfig
+from gsjax.render.api import render
+from gsjax.synthetic import look_at_origin_camera, random_scene
+from gsjax.train.loss import l1_loss
+
+WIDTH, HEIGHT = 1920, 1080
+N = 500_000
+TRACE_DIR = "/tmp/gsjax_trace"
+
+
+def main() -> None:
+    params, aux = random_scene(
+        N, capacity=N, sh_degree=3, seed=0, spread=2.5,
+        scale_range=(0.004, 0.03),
+    )
+    camera = look_at_origin_camera(width=WIDTH, height=HEIGHT)
+    cfg = RasterConfig(
+        tile_w=32, tile_h=32, max_instances=1_179_648, max_rows=524_288,
+    )
+    bg = jnp.zeros(3, jnp.float32)
+    gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
+
+    def loss_fn(p, off):
+        out = render(p, camera, active_sh_degree=3, bg_color=bg, cfg=cfg,
+                     alive=aux.alive, mean2d_offset=off)
+        return l1_loss(out.image, gt)
+
+    @jax.jit
+    def step(p, off):
+        loss, (gp, go) = jax.value_and_grad(loss_fn, (0, 1))(p, off)
+        newp = jax.tree.map(lambda a, b: a - 0.0 * b, p, gp)
+        return loss, newp
+
+    offset = jnp.zeros((N, 2), jnp.float32)
+    for _ in range(3):
+        loss, params = step(params, offset)
+    _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(4):
+            loss, params = step(params, offset)
+        _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+
+    # Parse the xplane proto: aggregate device-plane op durations.
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True))
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+
+    for plane in space.planes:
+        if "TPU" not in plane.name and "Device" not in plane.name:
+            continue
+        print(f"=== plane: {plane.name}")
+        agg = collections.Counter()
+        total = 0
+        for line in plane.lines:
+            if "XLA Op" not in line.name and "Ops" not in line.name:
+                continue
+            for ev in line.events:
+                meta = plane.event_metadata[ev.metadata_id]
+                agg[meta.name] += ev.duration_ps
+                total += ev.duration_ps
+        print(f"  total op time: {total / 1e12 * 1000 / 4:.2f} ms/step over "
+              f"{len(agg)} distinct ops")
+        for name, ps in agg.most_common(45):
+            print(f"  {ps / 1e12 * 1000 / 4:8.3f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
