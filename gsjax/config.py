@@ -92,12 +92,17 @@ class RasterConfig:
         past the budget are dropped deepest-first (overflow is reported).
       max_rows: static budget for (gaussian, tile-row) runs, the
         intermediate level of the two-level instance expansion.
+      strips: per-tile early-termination granularity — the composite
+        kernels track the all-pixels-terminated skip per horizontal strip
+        of pixels_per_tile/strips pixels (1 = whole tile). Finer strips
+        skip more saturated work but shrink each vector op.
       interpret: run Pallas kernels in interpreter mode (CPU tests/debug).
     """
 
     tile_size: int = 16
     tile_w: Optional[int] = None
     tile_h: Optional[int] = None
+    strips: int = 1
     chunk: int = 128
     max_instances: int = 2 ** 21
     max_rows: int = 2 ** 21
@@ -119,6 +124,9 @@ class RasterConfig:
             )
         if self.tw * self.th % 8:
             raise ValueError("tile area must be a multiple of 8 sublanes")
+        if self.tw * self.th % (8 * self.strips):
+            raise ValueError("strips must divide the tile into 8-sublane "
+                             "multiples")
 
     @property
     def tw(self) -> int:

@@ -86,6 +86,7 @@ def render_slab(
         tile_w=cfg.tw,
         tile_h=cfg.th,
         chunk=cfg.chunk,
+        strips=cfg.strips,
         interpret=cfg.interpret,
     )
     fields = pack_fields(mean_local, proj.conic, proj.rgb, proj.opacity)

@@ -121,6 +121,7 @@ def render(
         tile_w=cfg.tw,
         tile_h=cfg.th,
         chunk=cfg.chunk,
+        strips=cfg.strips,
         interpret=cfg.interpret,
     )
     # Depth-permute the packed differentiable fields (one N-rate gather; its

@@ -46,6 +46,7 @@ class CompositeStatic(NamedTuple):
     tile_w: int
     tile_h: int
     chunk: int
+    strips: int
     interpret: bool
 
 
@@ -89,6 +90,7 @@ def _composite_fwd(fields, binning, static):
         tile_w=static.tile_w,
         tile_h=static.tile_h,
         chunk=static.chunk,
+        strips=static.strips,
         interpret=static.interpret,
     )
     tile_t = tile_t3[..., 0]  # kernels carry [T, PIX, 1] for TPU block rules
@@ -118,6 +120,7 @@ def _composite_bwd(static, residuals, cotangents):
         tile_w=static.tile_w,
         tile_h=static.tile_h,
         chunk=static.chunk,
+        strips=static.strips,
         interpret=static.interpret,
     )
 

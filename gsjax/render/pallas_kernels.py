@@ -3,11 +3,13 @@ renderCUDA forward/backward equivalents, redesigned for the TPU memory
 hierarchy).
 
 Forward: grid over tiles; each grid step walks the depth-sorted instance
-stream chunks overlapping its tile's [start, end) range, double-buffering
-HBM->VMEM DMAs of (ROWS, CHUNK) blocks and compositing with the vectorized
-chunk_forward math (pixels on sublanes, instances on lanes; in-chunk
-sequential dependence via log-space cumulative products on the MXU). The
-stream is NOT padded to chunk boundaries: range-edge chunks carry foreign
+stream chunks overlapping its tile's [start, end) range, with a 4-deep
+HBM->VMEM DMA prefetch pipeline of (ROWS, CHUNK) blocks, compositing with
+the vectorized chunk_forward math (pixels on sublanes, instances on lanes;
+in-chunk sequential dependence via log-space cumulative products on the
+MXU), early-terminating per pixel STRIP once every pixel saturates, and
+writing per-tile outputs through a manual double-buffered DMA. The stream
+is NOT padded to chunk boundaries: range-edge chunks carry foreign
 instances which a lane mask zeroes.
 
 Backward: same walk, forward-order replay. Per-instance gradients follow the
@@ -70,6 +72,7 @@ def _fwd_kernel(
     tile_w: int,
     tile_h: int,
     chunk: int,
+    strips: int,
 ):
     t = pl.program_id(0)
     last_t = pl.num_programs(0) - 1
@@ -79,6 +82,9 @@ def _fwd_kernel(
     pix = tile_w * tile_h
     px, py = tile_pixel_coords(t, tiles_x, tile_w, tile_h)
     nbuf = inst_vmem.shape[0]
+    sub = pix // strips
+    pxs = [px[s * sub:(s + 1) * sub] for s in range(strips)]
+    pys = [py[s * sub:(s + 1) * sub] for s in range(strips)]
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(
@@ -101,11 +107,12 @@ def _fwd_kernel(
     # the skipped work. fori_loop + the per-instance `done` masking inside
     # chunk_forward keeps the numerics identical. The CUDA break's work
     # saving is recovered with a scalar-predicated compute skip: once EVERY
-    # pixel has terminated, chunk_forward is an exact no-op (zero
-    # contribution, unchanged T/done), so the chunk math is skipped while
-    # the DMA schedule stays static and pipelineable.
+    # pixel of a STRIP (pix/strips horizontal band; termination is
+    # spatially coherent) has terminated, chunk_forward on that strip is an
+    # exact no-op (zero contribution, unchanged T/done), so the strip's
+    # math is skipped while the DMA schedule stays static and
+    # pipelineable.
     def body(j, carry):
-        t_in, done_in, alldone, acc = carry
         slot = j % nbuf
 
         @pl.when(j + nbuf - 1 < n)
@@ -113,29 +120,40 @@ def _fwd_kernel(
             get_dma((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
 
         get_dma(slot, j).wait()
+        mask = _lane_mask(c0, j, i0, i1, chunk)
+        out = []
+        for s in range(strips):
+            t_in, done_in, alldone, acc = carry[s]
 
-        def compute(op):
-            t_c, done_c, acc_c = op
-            inst = inst_vmem[slot]
-            mask = _lane_mask(c0, j, i0, i1, chunk)
-            t_out, done_out, contrib = chunk_forward(
-                inst, px, py, t_c, done_c, mask
-            )
-            return t_out, done_out, jnp.min(done_out) >= 0.5, acc_c + contrib
+            def compute(op, s=s):
+                t_c, done_c, acc_c = op
+                inst = inst_vmem[slot]
+                t_out, done_out, contrib = chunk_forward(
+                    inst, pxs[s], pys[s], t_c, done_c, mask
+                )
+                return (
+                    t_out, done_out, jnp.min(done_out) >= 0.5, acc_c + contrib
+                )
 
-        def skip(op):
-            t_c, done_c, acc_c = op
-            return t_c, done_c, jnp.bool_(True), acc_c
+            def skip(op):
+                t_c, done_c, acc_c = op
+                return t_c, done_c, jnp.bool_(True), acc_c
 
-        return lax.cond(alldone, skip, compute, (t_in, done_in, acc))
+            out.append(lax.cond(alldone, skip, compute, (t_in, done_in, acc)))
+        return tuple(out)
 
-    init = (
-        jnp.ones((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),
-        jnp.bool_(False),
-        jnp.zeros((pix, 3), jnp.float32),
+    init = tuple(
+        (
+            jnp.ones((sub, 1), jnp.float32),
+            jnp.zeros((sub, 1), jnp.float32),
+            jnp.bool_(False),
+            jnp.zeros((sub, 3), jnp.float32),
+        )
+        for _ in range(strips)
     )
-    t_fin, _, _, acc = lax.fori_loop(0, n, body, init)
+    fin = lax.fori_loop(0, n, body, init)
+    t_fin = jnp.concatenate([f[0] for f in fin], axis=0)
+    acc = jnp.concatenate([f[3] for f in fin], axis=0)
 
     # Manual double-buffered output DMA: Pallas's automatic output-block
     # pipeline costs ~2.4 us per block per grid step (measured — it does
@@ -171,7 +189,8 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tiles", "tiles_x", "tile_w", "tile_h", "chunk", "interpret"
+        "n_tiles", "tiles_x", "tile_w", "tile_h", "chunk", "strips",
+        "interpret",
     ),
 )
 def composite_forward_pallas(
@@ -183,6 +202,7 @@ def composite_forward_pallas(
     tile_w: int,
     tile_h: int,
     chunk: int,
+    strips: int = 1,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tile_color [T, PIX, 3], tile_t [T, PIX, 1])."""
@@ -200,7 +220,8 @@ def composite_forward_pallas(
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk
+        _fwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        chunk=chunk, strips=strips,
     )
     fused = pl.pallas_call(
         kernel,
@@ -367,6 +388,7 @@ def _bwd_kernel(
     tile_w: int,
     tile_h: int,
     chunk: int,
+    strips: int,
 ):
     del zeros_hbm
     t = pl.program_id(0)
@@ -375,8 +397,11 @@ def _bwd_kernel(
     i1 = tile_start_ref[t + 1]
     c0, n = _chunk_range(i0, i1, chunk)
     px, py = tile_pixel_coords(t, tiles_x, tile_w, tile_h)
-    basis = moment_basis(px, py)
     pix = tile_w * tile_h
+    sub = pix // strips
+    pxs = [px[s * sub:(s + 1) * sub] for s in range(strips)]
+    pys = [py[s * sub:(s + 1) * sub] for s in range(strips)]
+    bases = [moment_basis(pxs[s], pys[s]) for s in range(strips)]
 
     # carry_smem: [0] = chunk index held in carry_vmem (-1 none);
     #             [1] = flush counter (for staging-slot rotation).
@@ -427,13 +452,13 @@ def _bwd_kernel(
             read_dma(k, k).start()
 
     # fori (not while-with-early-exit) for cross-iteration pipelining —
-    # see the forward kernel's note. Once every pixel has terminated in the
-    # replay, all remaining chunks of this tile produce exactly zero grads
-    # and unchanged replay state, so compute AND carry updates are skipped
+    # see the forward kernel's note. Once every pixel of a STRIP has
+    # terminated in the replay, the strip's remaining chunks produce
+    # exactly zero grads and unchanged replay state, so its compute is
+    # skipped; when EVERY strip is done the carry update is skipped too
     # (the grad stream is pre-zeroed via the aliased zeros input, and a
     # neighbouring tile that shares the chunk contributes independently).
     def body(j, carry):
-        t_in, done_in, suffix, alldone = carry
         slot = j % nbuf
         chunk_idx = c0 + j
 
@@ -442,43 +467,62 @@ def _bwd_kernel(
             read_dma((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
 
         read_dma(slot, j).wait()
+        mask = _lane_mask(c0, j, i0, i1, chunk)
+        out = []
+        grads = None
+        any_live = jnp.bool_(False)
+        for s in range(strips):
+            t_in, done_in, suffix, alldone = carry[s]
+            any_live = any_live | jnp.logical_not(alldone)
 
-        def compute(op):
-            t_c, done_c, suffix_c = op
-            inst = inst_vmem[slot]
-            mask = _lane_mask(c0, j, i0, i1, chunk)
-            (t_out, done_out, suffix_out), grads = chunk_backward(
-                inst, px, py, t_c, done_c, suffix_c, d_color, mask, basis,
-            )
+            def compute(op, s=s):
+                t_c, done_c, suffix_c = op
+                inst = inst_vmem[slot]
+                (t_out, done_out, suffix_out), g = chunk_backward(
+                    inst, pxs[s], pys[s], t_c, done_c, suffix_c,
+                    d_color[s * sub:(s + 1) * sub], mask, bases[s],
+                )
+                return (
+                    (t_out, done_out, suffix_out, jnp.min(done_out) >= 0.5),
+                    g,
+                )
 
-            held = carry_smem[0]
+            def skip(op):
+                t_c, done_c, suffix_c = op
+                return (
+                    (t_c, done_c, suffix_c, jnp.bool_(True)),
+                    jnp.zeros((ROWS, chunk), jnp.float32),
+                )
 
-            @pl.when(chunk_idx == held)
+            st, g = lax.cond(alldone, skip, compute, (t_in, done_in, suffix))
+            out.append(st)
+            grads = g if grads is None else grads + g
+
+        held = carry_smem[0]
+
+        @pl.when(any_live & (chunk_idx == held))
+        def _():
+            carry_vmem[:] = carry_vmem[:] + grads
+
+        @pl.when(any_live & (chunk_idx != held))
+        def _():
+            @pl.when(held >= 0)
             def _():
-                carry_vmem[:] = carry_vmem[:] + grads
+                flush_carry()
 
-            @pl.when(chunk_idx != held)
-            def _():
-                @pl.when(held >= 0)
-                def _():
-                    flush_carry()
+            carry_vmem[:] = grads
+            carry_smem[0] = chunk_idx
 
-                carry_vmem[:] = grads
-                carry_smem[0] = chunk_idx
+        return tuple(out)
 
-            return t_out, done_out, suffix_out, jnp.min(done_out) >= 0.5
-
-        def skip(op):
-            t_c, done_c, suffix_c = op
-            return t_c, done_c, suffix_c, jnp.bool_(True)
-
-        return lax.cond(alldone, skip, compute, (t_in, done_in, suffix))
-
-    init = (
-        jnp.ones((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),
-        suffix0,
-        jnp.bool_(False),
+    init = tuple(
+        (
+            jnp.ones((sub, 1), jnp.float32),
+            jnp.zeros((sub, 1), jnp.float32),
+            suffix0[s * sub:(s + 1) * sub],
+            jnp.bool_(False),
+        )
+        for s in range(strips)
     )
     lax.fori_loop(0, n, body, init)
 
@@ -503,7 +547,8 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tiles", "tiles_x", "tile_w", "tile_h", "chunk", "interpret"
+        "n_tiles", "tiles_x", "tile_w", "tile_h", "chunk", "strips",
+        "interpret",
     ),
 )
 def composite_backward_pallas(
@@ -517,6 +562,7 @@ def composite_backward_pallas(
     tile_w: int,
     tile_h: int,
     chunk: int,
+    strips: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns per-instance gradients (ROWS, P); rows as in common.py.
@@ -549,7 +595,8 @@ def composite_backward_pallas(
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk
+        _bwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        chunk=chunk, strips=strips,
     )
     # The grad stream is aliased to a zeros input: chunks past the live
     # stream (dead/sentinel slots) are never walked by any tile and must

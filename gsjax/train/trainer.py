@@ -112,8 +112,14 @@ class Trainer:
         quiet: bool = False,
         profile_dir: str | None = None,
         mesh=None,
+        adapt_budgets: bool = True,
     ):
         self.scene = scene
+        # adapt_budgets=False pins raster budgets to the given raster_cfg
+        # (no grow-on-overflow and no shrink-after-quiet recompiles) — for
+        # environments where each recompile is expensive; overflow is then
+        # the caller's responsibility to avoid.
+        self.adapt_budgets = adapt_budgets
         # Optional jax.sharding.Mesh with ("data", "tile") axes: trains with
         # the mesh-sharded step (gsjax/parallel/step.py) instead of the
         # single-device scan windows.
@@ -430,6 +436,21 @@ class Trainer:
 
             iteration += w
 
+            # Held-out evaluation runs BEFORE densify/opacity-reset at the
+            # same iteration, matching the reference's in-iteration order
+            # (training_report at train.py:105 precedes densification at
+            # :113-123) — otherwise an eval landing on a reset iteration
+            # measures the post-reset crater instead of the trained model.
+            if iteration in test_iterations:
+                self._report_test(
+                    iteration, first_test=iteration == min(test_iterations)
+                )
+            if iteration in save_iterations:
+                print(f"\n[ITER {iteration}] Saving Gaussians")
+                self.scene.save(
+                    iteration, self.state.params, self.state.aux.alive
+                )
+
             # Densification (reference: train.py:113-123).
             if iteration < opt.densify_until_iter:
                 if (
@@ -459,15 +480,6 @@ class Trainer:
                     jax.profiler.stop_trace()
                     self._profiling = False
 
-            if iteration in test_iterations:
-                self._report_test(
-                    iteration, first_test=iteration == min(test_iterations)
-                )
-            if iteration in save_iterations:
-                print(f"\n[ITER {iteration}] Saving Gaussians")
-                self.scene.save(
-                    iteration, self.state.params, self.state.aux.alive
-                )
             if iteration in checkpoint_iterations:
                 print(f"\n[ITER {iteration}] Saving Checkpoint")
                 save_checkpoint(
@@ -525,6 +537,19 @@ class Trainer:
         """
         import dataclasses
 
+        if not getattr(self, "adapt_budgets", True):
+            if (
+                peak_inst > self.raster_cfg.max_instances
+                or peak_rows > self.raster_cfg.max_rows
+            ):
+                print(
+                    f"\n[ITER {iteration}] raster budget OVERFLOW "
+                    f"(peaks {peak_inst}/{peak_rows} vs "
+                    f"{self.raster_cfg.max_instances}/"
+                    f"{self.raster_cfg.max_rows}); adaptation disabled — "
+                    "deepest pairs were dropped"
+                )
+            return
         cfg = self.raster_cfg
         new_inst, new_rows = cfg.max_instances, cfg.max_rows
         if peak_inst > cfg.max_instances:

@@ -312,3 +312,19 @@ class TestRectTiles:
         a, b = np.asarray(g_tiled[1]), np.asarray(g_oracle[1])
         scale = max(np.abs(b).max(), 1e-8)
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+
+    @pytest.mark.parametrize("strips", [2, 4])
+    def test_strip_skip_matches_oracle(self, scene, camera, oracle_image, strips):
+        """Strip-granular early termination is an exact no-op transform."""
+        params, aux = scene
+        cfg = RasterConfig(
+            tile_w=32, tile_h=16, strips=strips, chunk=128,
+            max_instances=1 << 14, interpret=True,
+        )
+        out = render(
+            params, camera, active_sh_degree=3, bg_color=BG, cfg=cfg,
+            alive=aux.alive,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.image), oracle_image, atol=2e-3, rtol=1e-3
+        )

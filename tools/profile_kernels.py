@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--max_rows", type=int, default=2**21)
     ap.add_argument("--tile_w", type=int, default=16)
     ap.add_argument("--tile_h", type=int, default=16)
+    ap.add_argument("--strips", type=int, default=1)
     ap.add_argument("--binning_only", action="store_true")
     args = ap.parse_args()
 
@@ -60,7 +61,7 @@ def main():
     camera = look_at_origin_camera(width=WIDTH, height=HEIGHT)
     cfg = RasterConfig(
         max_instances=args.max_instances, max_rows=args.max_rows,
-        tile_w=args.tile_w, tile_h=args.tile_h,
+        tile_w=args.tile_w, tile_h=args.tile_h, strips=args.strips,
         interpret=not on_tpu,
     )
     offset = jnp.zeros((N, 2), jnp.float32)
@@ -90,12 +91,12 @@ def main():
     tiles_x, tiles_y = num_tiles(HEIGHT, WIDTH, cfg.tw, cfg.th)
     static = CompositeStatic(n_tiles=tiles_x * tiles_y, tiles_x=tiles_x,
                              tile_w=cfg.tw, tile_h=cfg.th, chunk=cfg.chunk,
-                             interpret=cfg.interpret)
+                             strips=cfg.strips, interpret=cfg.interpret)
 
     fwdk = jax.jit(lambda i, ts: composite_forward_pallas(
         i, ts, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
         tile_w=static.tile_w, tile_h=static.tile_h, chunk=static.chunk,
-        interpret=static.interpret))
+        strips=static.strips, interpret=static.interpret))
     tc, tt3 = timeit("composite fwd kernel", fwdk, inst, binning.tile_start,
                      fence=lambda o: o[0])
 
@@ -104,7 +105,7 @@ def main():
     bwdk = jax.jit(lambda i, ts, s0, dc: composite_backward_pallas(
         i, ts, s0, dc, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
         tile_w=static.tile_w, tile_h=static.tile_h, chunk=static.chunk,
-        interpret=static.interpret))
+        strips=static.strips, interpret=static.interpret))
     ig = timeit("composite bwd kernel", bwdk, inst, binning.tile_start,
                 sfx0, dtc)
 

@@ -41,9 +41,17 @@ def main() -> None:
 
     import jax
 
+    # Remote TPU compiles cost minutes on this host; cache them, pre-size
+    # the capacity, and pin the raster budgets so the only distinct step
+    # graphs are the SH-degree ramp's.
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/repo/.jax_compile_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from torch.utils.tensorboard import SummaryWriter
 
-    from gsjax.config import ModelConfig, OptimizationConfig
+    from gsjax.config import ModelConfig, OptimizationConfig, RasterConfig
     from gsjax.scene import Scene
     from gsjax.train.trainer import Trainer
 
@@ -52,9 +60,15 @@ def main() -> None:
     )
     opt_cfg = OptimizationConfig(iterations=args.iterations)
     os.makedirs(args.model_dir, exist_ok=True)
-    scene = Scene(model_cfg)
+    scene = Scene(model_cfg, capacity=65_536)
+    raster_cfg = RasterConfig(
+        tile_w=32, tile_h=32, max_instances=1_048_576, max_rows=524_288,
+    )
     tb = SummaryWriter(args.model_dir)
-    trainer = Trainer(scene, model_cfg, opt_cfg, tb_writer=tb)
+    trainer = Trainer(
+        scene, model_cfg, opt_cfg, raster_cfg=raster_cfg, tb_writer=tb,
+        adapt_budgets=False,
+    )
 
     test_iters = sorted(
         {i for i in (200, 500, 1000, 1500, 2000, 3000, 4000, 5000, 6000,
@@ -97,7 +111,9 @@ def main() -> None:
             r"\[ITER (\d+)\] Evaluating (\w+): L1 ([\d.]+) PSNR ([\d.]+)", log
         )
     ]
-    budget_events = re.findall(r"\[ITER \d+\] raster budgets [^\n]+", log)
+    budget_events = re.findall(
+        r"\[ITER \d+\] raster budget[s]? [^\n]+", log
+    )
     test_curve = [e for e in evals if e["split"] == "test"]
 
     result = {
