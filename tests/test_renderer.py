@@ -178,6 +178,45 @@ class TestGradients:
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
         assert np.abs(b).max() > 0.0
 
+    def test_strip_skip_grads_match_oracle(self, scene, camera):
+        """strips>1 exercises the backward kernel's per-strip skip + shared
+        carry accumulation; gradients must still match the oracle."""
+        params, aux = scene
+        cfg = RasterConfig(
+            tile_w=32, tile_h=16, strips=2, chunk=128,
+            max_instances=1 << 14, interpret=True,
+        )
+        target = jnp.zeros((3, H, W))
+        offset = jnp.zeros((params.capacity, 2))
+
+        def loss_tiled(p, off):
+            out = render(
+                p, camera, active_sh_degree=3, bg_color=BG, cfg=cfg,
+                alive=aux.alive, mean2d_offset=off,
+            )
+            return jnp.mean((out.image - target) ** 2)
+
+        def loss_oracle(p, off):
+            img = render_oracle(
+                p, camera, active_sh_degree=3, bg_color=BG,
+                alive=aux.alive, mean2d_offset=off,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        g_tiled = jax.grad(loss_tiled, (0, 1))(params, offset)
+        g_oracle = jax.grad(loss_oracle, (0, 1))(params, offset)
+        for name in ("xyz", "features_dc", "scaling", "rotation", "opacity"):
+            a = np.asarray(getattr(g_tiled[0], name))
+            b = np.asarray(getattr(g_oracle[0], name))
+            scale = max(np.abs(b).max(), 1e-8)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=5e-3,
+                err_msg=f"grad mismatch for {name}",
+            )
+        a, b = np.asarray(g_tiled[1]), np.asarray(g_oracle[1])
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+
     def test_grads_zero_for_dead_slots(self, scene, camera):
         params, aux = scene
         half_alive = aux.alive & (jnp.arange(params.capacity) < 100)

@@ -59,7 +59,7 @@ def main() -> None:
         _ = np.asarray(jax.device_get(loss.ravel()[:1]))
 
     # Parse the xplane proto: aggregate device-plane op durations.
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True))
     space = xplane_pb2.XSpace()
