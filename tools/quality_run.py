@@ -114,6 +114,9 @@ def main() -> None:
     budget_events = re.findall(
         r"\[ITER \d+\] raster budget[s]? [^\n]+", log
     )
+    capacity_events = re.findall(
+        r"\[ITER \d+\] growing capacity [^\n]+", log
+    )
     test_curve = [e for e in evals if e["split"] == "test"]
 
     result = {
@@ -129,6 +132,7 @@ def main() -> None:
             "max_rows": trainer.raster_cfg.max_rows,
         },
         "budget_events": budget_events,
+        "capacity_events": capacity_events,
         "test_psnr_curve": test_curve,
         "train_evals": [e for e in evals if e["split"] == "train"],
         "final_test_psnr": test_curve[-1]["psnr"] if test_curve else None,
