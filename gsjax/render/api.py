@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from gsjax.config import RasterConfig
 from gsjax.core.cameras import Camera
 from gsjax.model import GaussianParams
-from gsjax.render.binning import bin_gaussians, num_tiles
+from gsjax.render.binning import bin_gaussians, num_tiles, permute_rows
 from gsjax.render.common import untile_image
 from gsjax.render.composite import CompositeStatic, composite, pack_fields
 from gsjax.render.preprocess import preprocess
@@ -124,11 +124,12 @@ def render(
         strips=cfg.strips,
         interpret=cfg.interpret,
     )
-    # Depth-permute the packed differentiable fields (one N-rate gather; its
-    # autodiff maps cotangents back to original order with one scatter-add).
+    # Depth-permute the packed differentiable fields (one N-rate gather;
+    # permute_rows' custom VJP maps cotangents back to original order with
+    # an inverse-permutation gather instead of an element-rate scatter-add).
     fields = pack_fields(proj.mean_pix, proj.conic, proj.rgb, proj.opacity)
     tile_color, tile_t = composite(
-        jnp.take(fields, binning.perm, axis=0), binning, static
+        permute_rows(fields, binning.perm), binning, static
     )
     color, transmittance = untile_image(
         tile_color, tile_t, camera.height, camera.width, tiles_x, tiles_y,

@@ -8,6 +8,7 @@ the deepest instances)."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -192,3 +193,25 @@ def test_all_culled_is_empty():
     assert int(binning.num_instances) == 0
     assert int(np.asarray(binning.tile_start)[-1]) == 0
     assert bool(jnp.all(binning.sorted_owner == n))
+
+
+def test_permute_rows_grad_is_exact_inverse_gather():
+    # permute_rows == take(x, perm) and its VJP must equal the generic
+    # scatter-add transpose exactly (a permutation's cotangent map is the
+    # inverse permutation).
+    from gsjax.render.binning import permute_rows
+
+    rng = np.random.default_rng(3)
+    n, k = 257, 9
+    x = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(permute_rows(x, perm)), np.asarray(jnp.take(x, perm, axis=0))
+    )
+    _, vjp_custom = jax.vjp(lambda v: permute_rows(v, perm), x)
+    _, vjp_generic = jax.vjp(lambda v: jnp.take(v, perm, axis=0), x)
+    np.testing.assert_array_equal(
+        np.asarray(vjp_custom(ct)[0]), np.asarray(vjp_generic(ct)[0])
+    )
