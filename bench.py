@@ -19,10 +19,8 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_PIXELS_PER_S = 31.1e6
 
@@ -33,13 +31,57 @@ WARMUP = 3
 ITERS = 20
 
 
+def _init_backend_with_retry(attempts: int = 3, backoff_s: float = 60.0) -> str:
+    """Initialize the JAX backend, retrying on transient TPU-tunnel failures.
+
+    The tunneled TPU client can hit UNAVAILABLE if a previous client's
+    connection is still draining on the remote side; that state clears on
+    its own within a couple of minutes. On final failure, emit a parseable
+    JSON error line (not a bare traceback) so the driver records a structured
+    artifact.
+    """
+    import jax
+
+    last_err: Exception | None = None
+    for i in range(attempts):
+        try:
+            return jax.default_backend()
+        except Exception as e:  # noqa: BLE001 — backend init raises RuntimeError subclasses
+            last_err = e
+            if i + 1 < attempts:
+                print(
+                    f"# backend init failed (attempt {i + 1}/{attempts}): "
+                    f"{type(e).__name__}; retrying in {backoff_s:.0f}s",
+                    file=sys.stderr,
+                )
+                time.sleep(backoff_s)
+    print(
+        json.dumps(
+            {
+                "metric": "pixels_per_s_fwd_bwd_1080p",
+                "value": 0.0,
+                "unit": "pixel/s",
+                "vs_baseline": 0.0,
+                "error": f"backend init failed after {attempts} attempts: "
+                f"{type(last_err).__name__}: {last_err}"[:500],
+            }
+        )
+    )
+    raise SystemExit(1)
+
+
 def main() -> None:
+    backend = _init_backend_with_retry()
+
+    import jax
+    import jax.numpy as jnp
+
     from gsjax.config import RasterConfig
     from gsjax.render.api import render
     from gsjax.synthetic import look_at_origin_camera, random_scene
     from gsjax.train.loss import l1_loss
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = backend == "tpu"
     params, aux = random_scene(
         N_GAUSSIANS,
         capacity=N_GAUSSIANS,

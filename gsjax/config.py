@@ -93,9 +93,11 @@ class RasterConfig:
       max_rows: static budget for (gaussian, tile-row) runs, the
         intermediate level of the two-level instance expansion.
       strips: per-tile early-termination granularity — the composite
-        kernels track the all-pixels-terminated skip per horizontal strip
-        of pixels_per_tile/strips pixels (1 = whole tile). Finer strips
-        skip more saturated work but shrink each vector op.
+        kernels track the all-pixels-terminated skip per contiguous
+        row-major range of pixels_per_tile/strips pixels (1 = whole tile;
+        when pixels_per_tile/strips is a multiple of tile_w each range is a
+        whole horizontal strip). The skip is exact for any partition;
+        finer strips skip more saturated work but shrink each vector op.
       interpret: run Pallas kernels in interpreter mode (CPU tests/debug).
     """
 

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gsjax.config import RasterConfig
 from gsjax.core.cameras import Camera
 from gsjax.model import GaussianParams
-from gsjax.render.binning import bin_gaussians, num_tiles
+from gsjax.render.binning import bin_gaussians, num_tiles, permute_rows
 from gsjax.render.common import untile_image
 from gsjax.render.composite import CompositeStatic, composite, pack_fields
 from gsjax.render.preprocess import preprocess
@@ -90,8 +90,10 @@ def render_slab(
         interpret=cfg.interpret,
     )
     fields = pack_fields(mean_local, proj.conic, proj.rgb, proj.opacity)
+    # permute_rows' custom VJP is an inverse-permutation gather — never let
+    # autodiff transpose a take() into an element-rate scatter-add on TPU.
     tile_color, tile_t = composite(
-        jnp.take(fields, binning.perm, axis=0), binning, static
+        permute_rows(fields, binning.perm), binning, static
     )
     color, transmittance = untile_image(
         tile_color, tile_t, slab_px, w_pad, tiles_x, rows, cfg.tw, cfg.th

@@ -95,14 +95,15 @@ def main():
     inst = timeit("permute+build_inst_data", gather, proj.mean_pix, proj.conic,
                   proj.rgb, proj.opacity, binning.sorted_owner, binning.perm)
 
-    tiles_x, tiles_y = num_tiles(HEIGHT, WIDTH, cfg.tile_size)
+    tiles_x, tiles_y = num_tiles(HEIGHT, WIDTH, cfg.tw, cfg.th)
     static = CompositeStatic(n_tiles=tiles_x * tiles_y, tiles_x=tiles_x,
-                             tile_size=cfg.tile_size, chunk=cfg.chunk,
-                             interpret=cfg.interpret)
+                             tile_w=cfg.tw, tile_h=cfg.th, chunk=cfg.chunk,
+                             strips=cfg.strips, interpret=cfg.interpret)
 
     fwdk = jax.jit(lambda i, ts: composite_forward_pallas(
         i, ts, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
-        tile_size=static.tile_size, chunk=static.chunk, interpret=static.interpret))
+        tile_w=static.tile_w, tile_h=static.tile_h, chunk=static.chunk,
+        strips=static.strips, interpret=static.interpret))
     tc, tt3 = timeit("composite fwd kernel", fwdk, inst, binning.tile_start,
                      fence=lambda o: o[0])
 
@@ -111,7 +112,7 @@ def main():
     bwdk = jax.jit(lambda i, ts, s0, dc: composite_backward_pallas(
         i, ts, s0, dc, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
         tile_w=static.tile_w, tile_h=static.tile_h, chunk=static.chunk,
-        interpret=static.interpret))
+        strips=static.strips, interpret=static.interpret))
     ig = timeit("composite bwd kernel", bwdk, inst, binning.tile_start,
                 sfx0, dtc)
 

@@ -47,15 +47,17 @@ def main():
             active_sh_degree=SH_DEGREE, alive=aux.alive)
         binning = bin_gaussians(proj.mean_pix, proj.depth, proj.ext,
                                 proj.conic, proj.qmax, HEIGHT, WIDTH, cfg)
-        tiles_x, tiles_y = num_tiles(HEIGHT, WIDTH, cfg.tile_size)
+        tiles_x, tiles_y = num_tiles(HEIGHT, WIDTH, cfg.tw, cfg.th)
         static = CompositeStatic(
             n_tiles=tiles_x * tiles_y, tiles_x=tiles_x,
-            tile_size=cfg.tile_size, chunk=cfg.chunk, interpret=cfg.interpret)
+            tile_w=cfg.tw, tile_h=cfg.th, chunk=cfg.chunk,
+            strips=cfg.strips, interpret=cfg.interpret)
         fields = pack_fields(proj.mean_pix, proj.conic, proj.rgb, proj.opacity)
         tile_color, tile_t = composite(
             jnp.take(fields, binning.perm, axis=0), binning, static)
         _, transmittance = untile_image(
-            tile_color, tile_t, HEIGHT, WIDTH, tiles_x, tiles_y, cfg.tile_size)
+            tile_color, tile_t, HEIGHT, WIDTH, tiles_x, tiles_y,
+            cfg.tw, cfg.th)
         return transmittance
 
     t = np.asarray(jax.jit(t_map)(params))
@@ -66,9 +68,10 @@ def main():
     # Per-tile: chunks until all pixels would be done, via the oracle-free
     # route: recompute per-tile transmittance trajectory is expensive; proxy
     # instead with per-tile terminated fraction.
-    ts = cfg.tile_size
-    th, tw = HEIGHT // ts, WIDTH // ts
-    tt = t[: th * ts, : tw * ts].reshape(th, ts, tw, ts).transpose(0, 2, 1, 3)
+    tsw, tsh = cfg.tw, cfg.th
+    th, tw = HEIGHT // tsh, WIDTH // tsw
+    tt = (t[: th * tsh, : tw * tsw]
+          .reshape(th, tsh, tw, tsw).transpose(0, 2, 1, 3))
     tile_done_frac = (tt < 1e-4).reshape(th * tw, -1).mean(axis=1)
     print(f"frac tiles fully terminated: {(tile_done_frac == 1.0).mean():.4f}")
     print(f"tile done-frac percentiles: "
