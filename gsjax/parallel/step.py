@@ -8,11 +8,19 @@ train.py:76-128); B>1 is the camera-level data-parallel extension the
 reference lacks (SURVEY.md §5.7). Densification statistics accumulate over
 every camera in the batch (sums for grad-accum/denom, max for radii).
 
-Gradient algebra: inside the "tile" group every device computes the SAME
-full-image loss (after an all_gather of slabs), so the all_gather transpose
-(a psum_scatter) hands each device n_tile x its true slab cotangent; the
-per-Gaussian grads are therefore psum'd over "tile" and divided by n_tile,
-then pmean'd over "data".
+Loss sharding: the loss is computed on the LOCAL slab — O(slab) per-device
+work, not O(full image). L1 is a masked local sum; SSIM needs a 5-pixel-row
+halo (11x11 window), exchanged with the two slab neighbors via ppermute
+(edge devices receive zeros, which IS the reference's zero-padded conv
+boundary — utils/loss_utils.py:39-41 pads with window_size//2 zeros).
+
+Gradient algebra: each device differentiates its OWN local objective
+  obj_d = ((1-λ)·Σ|err| − λ·Σ ssim_map) / (C·H·W)   over its slab rows,
+so total loss = Σ_d obj_d + λ and the true full gradient is the plain
+psum of per-device grads — no collective appears inside the differentiated
+scalar, so no dependence on psum/all_gather transpose conventions. Halo
+cotangents flow back to the producing neighbor through ppermute's exact
+transpose (the reversed permutation).
 """
 
 from __future__ import annotations
@@ -28,9 +36,11 @@ from gsjax.config import OptimizationConfig, RasterConfig
 from gsjax.core.cameras import Camera
 from gsjax.model import GaussianAux
 from gsjax.parallel.render import render_slab, slab_rows
-from gsjax.train.loss import l1_loss, ssim
+from gsjax.train.loss import ssim_map
 from gsjax.train.optimizer import adam_update, make_lr_tree
 from gsjax.train.step import StepMetrics, TrainState
+
+_HALO = 5  # 11x11 SSIM window: window_size // 2 rows each side
 
 
 def make_sharded_train_step(
@@ -53,9 +63,15 @@ def make_sharded_train_step(
     n_data = mesh.shape["data"]
     ts = raster_cfg.th
     rows = slab_rows(height, n_tile, ts)
+    slab_px = rows * ts
+    lam = opt_cfg.lambda_dssim
+    npix = 3.0 * height * width
 
-    def local_loss(params, offset, camera, gt, bg, alive):
-        py0 = (lax.axis_index("tile") * rows * ts).astype(jnp.float32)
+    def local_obj(params, offset, camera, gt, bg, alive):
+        """Per-device objective over this device's slab rows; the full-image
+        loss is sum_over_tile(local_obj) + lambda_dssim."""
+        tile_idx = lax.axis_index("tile")
+        py0 = (tile_idx * slab_px).astype(jnp.float32)
         color, t, radii, ninst = render_slab(
             params,
             camera,
@@ -66,17 +82,52 @@ def make_sharded_train_step(
             mean2d_offset=offset,
             alive=alive,
         )
-        full_c = lax.all_gather(color, "tile", axis=1, tiled=True)
-        full_t = lax.all_gather(t, "tile", axis=0, tiled=True)
-        image = (
-            full_c[:, :height, :width]
-            + full_t[None, :height, :width] * bg[:, None, None]
+        img = (
+            color[:, :, :width]
+            + t[None, :, :width] * bg[:, None, None]
         )
-        l1 = l1_loss(image, gt)
-        loss = (1.0 - opt_cfg.lambda_dssim) * l1 + opt_cfg.lambda_dssim * (
-            1.0 - ssim(image, gt)
+        # Rows past the true image height (padded tile grid on the last
+        # slab) are zeroed: the full-image SSIM sees zero-padding there, and
+        # zero img vs zero gt contributes nothing to L1.
+        row_ids = tile_idx * slab_px + jnp.arange(slab_px)
+        row_ok = (row_ids < height).astype(jnp.float32)
+        img = img * row_ok[None, :, None]
+
+        # Replicated gt: slice my slab plus halos, zero-padded at the ends.
+        gt_pad = jnp.pad(
+            gt,
+            (
+                (0, 0),
+                (_HALO, n_tile * slab_px + _HALO - height),
+                (0, 0),
+            ),
         )
-        return loss, (radii, ninst, l1)
+        gt_ext = lax.dynamic_slice_in_dim(
+            gt_pad, tile_idx * slab_px, slab_px + 2 * _HALO, axis=1
+        )
+
+        # Halo exchange: 5 boundary rows from each slab neighbor. Devices
+        # with no neighbor on that side receive ppermute's zero fill — the
+        # reference conv's zero padding at the global image edge.
+        if n_tile > 1:
+            up_halo = lax.ppermute(
+                img[:, -_HALO:, :], "tile",
+                [(d, d + 1) for d in range(n_tile - 1)],
+            )
+            down_halo = lax.ppermute(
+                img[:, :_HALO, :], "tile",
+                [(d + 1, d) for d in range(n_tile - 1)],
+            )
+        else:
+            up_halo = jnp.zeros_like(img[:, :_HALO, :])
+            down_halo = up_halo
+        img_ext = jnp.concatenate([up_halo, img, down_halo], axis=1)
+
+        l1_sum = jnp.sum(jnp.abs(img - gt_ext[:, _HALO:-_HALO, :]))
+        smap = ssim_map(img_ext, gt_ext, pad_h=False)
+        ssim_sum = jnp.sum(smap * row_ok[None, :, None])
+        obj = ((1.0 - lam) * l1_sum - lam * ssim_sum) / npix
+        return obj, (radii, ninst, l1_sum)
 
     def shard_body(params, alive, views, projs, centers, tanx, tany, gt, bg):
         # Local shapes: views [1,4,4], gt [1,3,H,W] (B sharded over "data").
@@ -91,18 +142,22 @@ def make_sharded_train_step(
         )
         gt_img = gt[0]
         offset = jnp.zeros((params.capacity, 2), jnp.float32)
-        (loss, (radii, ninst, l1)), (g_params, g_offset) = jax.value_and_grad(
-            local_loss, argnums=(0, 1), has_aux=True
-        )(params, offset, camera, gt_img, bg, alive)
-
-        # psum over tile = n_tile * (true per-camera grad): each slab term
-        # carries the n_tile-scaled cotangent. One division by n_tile, then
-        # the data-batch mean.
-        scale = 1.0 / (n_tile * n_data)
+        (obj, (radii, ninst, l1_sum)), (g_params, g_offset) = (
+            jax.value_and_grad(local_obj, argnums=(0, 1), has_aux=True)(
+                params, offset, camera, gt_img, bg, alive
+            )
+        )
+        # Each device differentiated its OWN slab objective, so the plain
+        # psum over "tile" is the exact full-image gradient (halo cotangents
+        # already flowed back through ppermute's transpose); "data" averages
+        # the camera batch.
+        scale = 1.0 / n_data
         g_params = jax.tree.map(
             lambda x: lax.psum(x, ("tile", "data")) * scale, g_params
         )
-        g_offset = lax.psum(g_offset, "tile") * (1.0 / n_tile)
+        g_offset = lax.psum(g_offset, "tile")
+        loss = lax.psum(obj, "tile") + lam
+        l1 = lax.psum(l1_sum, "tile") / npix
 
         # Densification stat deltas, accumulated over the camera batch
         # (reference per-camera semantics: train.py:115-116).
@@ -173,6 +228,9 @@ def make_sharded_train_step(
         return one_step(state, views, projs, centers, tanx, tany, gt, bg)
 
     step.one_step = one_step
+    # Raw sharded grads+stats (pre-Adam), exposed so tests can pin the
+    # psum'd gradient against the single-device backward at tight tolerance.
+    step.sharded_grads = sharded
     return step
 
 

@@ -104,17 +104,23 @@ def _composite_bwd(static, residuals, cotangents):
     inst, binning, tile_color, tile_t = residuals
     d_color, d_t = cotangents
     # Per-tile initial suffix A' = sum_ch dC*C_total + dT*T_final, at image
-    # rate (see chunk_backward) — the kernel then needs only this and the
-    # color cotangent per pixel.
-    suffix0 = (
-        jnp.sum(d_color * tile_color, axis=-1, keepdims=True)
-        + (d_t * tile_t)[..., None]
+    # rate (see chunk_backward), packed with the color cotangent into the
+    # kernel's fused (T, 8, PIX) transposed-rows input (PIX on lanes —
+    # pixel-minor (PIX, 1)/(PIX, 3) blocks pad their lane dim to 128).
+    suffix0 = jnp.sum(d_color * tile_color, axis=-1) + d_t * tile_t  # (T,PIX)
+    n_t, pix = suffix0.shape
+    cot = jnp.concatenate(
+        [
+            jnp.swapaxes(d_color, 1, 2),  # (T, 3, PIX)
+            suffix0[:, None, :],
+            jnp.zeros((n_t, 4, pix), jnp.float32),
+        ],
+        axis=1,
     )
     inst_grads = composite_backward_pallas(
         inst,
         binning.tile_start,
-        suffix0,
-        d_color,
+        cot,
         n_tiles=static.n_tiles,
         tiles_x=static.tiles_x,
         tile_w=static.tile_w,

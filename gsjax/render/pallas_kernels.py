@@ -372,8 +372,7 @@ def _bwd_kernel(
     # inputs
     inst_hbm,
     zeros_hbm,  # aliased to grads_hbm: pre-zeroed for never-walked chunks
-    suffix0_ref,
-    d_color_ref,
+    cot_ref,  # (1, 8, PIX) fused per-pixel cotangents
     # outputs
     grads_hbm,
     # scratch
@@ -410,11 +409,20 @@ def _bwd_kernel(
         carry_smem[0] = -1
         carry_smem[1] = 0
 
-    # Per-tile init of the scalar suffix carry A' (see chunk_backward),
-    # precomputed at image rate by the caller — the kernel needs neither
-    # the forward outputs nor the transmittance cotangent separately.
-    suffix0 = suffix0_ref[0]  # (PIX, 1)
-    d_color = d_color_ref[0]  # (PIX, 3)
+    # Per-pixel cotangents ride TRANSPOSED as (8, PIX) rows
+    # [dC_r, dC_g, dC_b, A'_0, pad...] — the same fused layout as the
+    # forward's output DMA. Per-pixel-minor (PIX, 1)/(PIX, 3) input blocks
+    # force 128-lane padding (128x/42x HBM traffic, ~1 GB per step at
+    # 1080p/32x32 measured in the xplane trace); the fused rows are exact.
+    # The (rows, PIX) -> (PIX, rows) transposes below happen once per TILE
+    # (not per chunk) and their cost is per-grid-step noise.
+    cot = cot_ref[0]  # (8, PIX)
+    d_colors_t = [
+        cot[0:3, s * sub:(s + 1) * sub].T for s in range(strips)
+    ]  # (sub, 3) each
+    suffix0s = [
+        cot[3:4, s * sub:(s + 1) * sub].T for s in range(strips)
+    ]  # (sub, 1) each
 
     nbuf = inst_vmem.shape[0]
 
@@ -480,7 +488,7 @@ def _bwd_kernel(
                 inst = inst_vmem[slot]
                 (t_out, done_out, suffix_out), g = chunk_backward(
                     inst, pxs[s], pys[s], t_c, done_c, suffix_c,
-                    d_color[s * sub:(s + 1) * sub], mask, bases[s],
+                    d_colors_t[s], mask, bases[s],
                 )
                 return (
                     (t_out, done_out, suffix_out, jnp.min(done_out) >= 0.5),
@@ -519,7 +527,7 @@ def _bwd_kernel(
         (
             jnp.ones((sub, 1), jnp.float32),
             jnp.zeros((sub, 1), jnp.float32),
-            suffix0[s * sub:(s + 1) * sub],
+            suffix0s[s],
             jnp.bool_(False),
         )
         for s in range(strips)
@@ -554,8 +562,7 @@ def _bwd_kernel(
 def composite_backward_pallas(
     inst_data: jnp.ndarray,
     tile_start: jnp.ndarray,
-    suffix0: jnp.ndarray,
-    d_tile_color: jnp.ndarray,
+    cot: jnp.ndarray,
     *,
     n_tiles: int,
     tiles_x: int,
@@ -568,10 +575,13 @@ def composite_backward_pallas(
     """Returns per-instance gradients (ROWS, P); rows as in common.py.
 
     Args:
-      suffix0: [T, PIX, 1] per-tile initial A' suffix (see chunk_backward):
+      cot: [T, 8, PIX] fused per-pixel cotangents, rows
+        [dC_r, dC_g, dC_b, A'_0, 0, 0, 0, 0] where A'_0 is the per-tile
+        initial suffix (see chunk_backward):
         sum_ch dC_ch * C_total_ch + dT_final * T_final, computed at image
-        rate by the caller so the kernel streams only two pixel blocks.
-      d_tile_color: [T, PIX, 3] tile-color cotangents.
+        rate by the caller. The transposed-rows layout mirrors the forward
+        output DMA: PIX on lanes (exact), not on sublanes with a 1- or
+        3-wide lane dim (which HBM tiling pads to 128 lanes).
     """
     pix = tile_w * tile_h
     p = inst_data.shape[1]
@@ -581,8 +591,7 @@ def composite_backward_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, pix, 1), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, pix, 3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 8, pix), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
@@ -616,6 +625,5 @@ def composite_backward_pallas(
         tile_start,
         inst_data,
         zeros,
-        suffix0,
-        d_tile_color,
+        cot,
     )[0]

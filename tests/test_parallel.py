@@ -74,6 +74,48 @@ def _one_camera_bank(camera, gt):
     )
 
 
+@pytest.mark.parametrize("data,tile", [(1, 2), (1, 4), (2, 2)])
+def test_sharded_grads_match_single(scene, data, tile):
+    """Pre-Adam gradient parity: the psum'd sharded gradient equals the
+    single-device backward at tight tolerance (the primary sharded-backward
+    gate — tighter than comparing post-Adam params, where a sign flip of a
+    ~zero gradient becomes a full ±lr step)."""
+    from gsjax.train.step import _loss_and_render
+
+    params, aux, camera = scene
+    opt_cfg = OptimizationConfig()
+    gt = jnp.tile(
+        jnp.linspace(0, 1, H * W, dtype=jnp.float32).reshape(1, H, W), (3, 1, 1)
+    )
+    bg = jnp.asarray([0.2, 0.1, 0.4], jnp.float32)
+
+    offset = jnp.zeros((params.capacity, 2), jnp.float32)
+    (loss1, _), (g1, g1_off) = jax.value_and_grad(
+        _loss_and_render, argnums=(0, 1), has_aux=True
+    )(params, offset, camera, gt, bg, aux.alive, SH_DEG,
+      opt_cfg.lambda_dssim, CFG)
+
+    mesh = make_mesh(jax.devices()[: data * tile], data=data, tile=tile)
+    step = make_sharded_train_step(
+        mesh, height=H, width=W, active_sh_degree=SH_DEG, opt_cfg=opt_cfg,
+        raster_cfg=CFG, spatial_lr_scale=1.0,
+    )
+    g2, _, _, _, loss2, _, _ = jax.jit(step.sharded_grads)(
+        params, aux.alive, *_bank_args(camera, gt, data), bg
+    )
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for name in ("xyz", "scaling", "opacity", "features_dc", "features_rest",
+                 "rotation"):
+        a = np.asarray(getattr(g2, name))
+        b = np.asarray(getattr(g1, name))
+        # atol covers f32 reduction-order noise between the slab-partitioned
+        # and full-image sums (observed max ~6e-7 on ~1e-4 gradients).
+        np.testing.assert_allclose(
+            a, b, atol=2e-6, rtol=2e-4,
+            err_msg=f"gradient mismatch in {name}",
+        )
+
+
 @pytest.mark.parametrize("data,tile", [(1, 2), (2, 2)])
 def test_sharded_step_matches_single(scene, data, tile):
     """One sharded train step == one single-chip step on the same camera

@@ -101,13 +101,15 @@ def main():
                      fence=lambda o: o[0])
 
     dtc = jnp.ones_like(tc)
-    sfx0 = jnp.sum(dtc * tc, axis=-1, keepdims=True) + tt3
-    bwdk = jax.jit(lambda i, ts, s0, dc: composite_backward_pallas(
-        i, ts, s0, dc, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
+    sfx0 = jnp.sum(dtc * tc, axis=-1) + tt3[..., 0]  # (T, PIX)
+    cot = jnp.concatenate(
+        [jnp.swapaxes(dtc, 1, 2), sfx0[:, None, :],
+         jnp.zeros((sfx0.shape[0], 4, sfx0.shape[1]), jnp.float32)], axis=1)
+    bwdk = jax.jit(lambda i, ts, c: composite_backward_pallas(
+        i, ts, c, n_tiles=static.n_tiles, tiles_x=static.tiles_x,
         tile_w=static.tile_w, tile_h=static.tile_h, chunk=static.chunk,
         strips=static.strips, interpret=static.interpret))
-    ig = timeit("composite bwd kernel", bwdk, inst, binning.tile_start,
-                sfx0, dtc)
+    ig = timeit("composite bwd kernel", bwdk, inst, binning.tile_start, cot)
 
     from jax import lax
 
