@@ -75,7 +75,15 @@ def evaluate(model_paths: list[str]) -> None:
                 if use_lpips:
                     print(f"  LPIPS: {mean(lpipss):.7f}")
                 else:
-                    print("  LPIPS: unavailable (no pretrained weights)")
+                    print(
+                        "  LPIPS: UNAVAILABLE — reported as null in "
+                        "results.json. The reference always scores "
+                        "LPIPS-vgg (metrics.py:71-74); this environment "
+                        "has no network egress to fetch the pretrained "
+                        "VGG16+linear-head weights. Export them once with "
+                        "tools/export_lpips_weights.py on a machine with "
+                        "torchvision, then set GSJAX_LPIPS_WEIGHTS=<npz>."
+                    )
                 full_dict[scene_dir][method].update(
                     {
                         "SSIM": mean(ssims),

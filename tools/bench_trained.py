@@ -1,0 +1,163 @@
+"""Rasterizer benchmark on a TRAINED checkpoint (VERDICT r2 #7).
+
+The headline bench.py scene is a random Gaussian blob cloud; early
+termination, skip masks, and the depth distribution behave differently on a
+real mid-training state (opaque foregrounds, dense splat clusters). This
+tool loads the quality-run PLY checkpoint (~1M Gaussians with trained
+opacity/scale statistics) and measures fwd+bwd throughput and fwd-only fps
+at 1080p — the surface on which strips/tile-shape choices should be
+re-evaluated.
+
+Usage:
+  python tools/bench_trained.py [--model /tmp/gsjax_quality_model]
+      [--width 1920 --height 1080] [--tile 32x32] [--strips 1]
+      [--orbit 0.6] [--iters 15]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def _orbit_camera(angle, width, height, fov_x=0.85, radius=4.2, elev=0.45):
+    """COLMAP-convention orbit camera looking at the quality scene's center
+    (0, 0.45, 0) — same pose family as tools/synthetic_scene.camera_pose."""
+    from gsjax.core.cameras import Camera
+
+    target = np.array([0.0, 0.45, 0.0])
+    pos = target + radius * np.array(
+        [np.sin(angle) * np.cos(elev), np.sin(elev), np.cos(angle) * np.cos(elev)]
+    )
+    fwd = target - pos
+    fwd /= np.linalg.norm(fwd)
+    up_gl = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up_gl)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    # world->cam rows, COLMAP convention (x right, y down, z forward).
+    R_w2c = np.stack([right, -up, fwd], axis=0)
+    t = -R_w2c @ pos
+    fov_y = 2.0 * np.arctan(np.tan(fov_x / 2.0) * height / width)
+    return Camera.create(
+        R_w2c.T.astype(np.float32), t.astype(np.float32),
+        fov_x=fov_x, fov_y=float(fov_y), width=width, height=height,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="/tmp/gsjax_quality_model")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--tile", default="32x32")
+    ap.add_argument("--strips", type=int, default=1)
+    ap.add_argument("--orbit", type=float, default=0.6)
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--max_instances", type=int, default=0,
+                    help="0 = auto-grow to the scene's exact pair count")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gsjax.config import RasterConfig, pow2_budget
+    from gsjax.model import GaussianAux, pad_gaussian_params
+    from gsjax.data.ply import load_gaussian_ply
+    from gsjax.render.api import render
+    from gsjax.train.loss import l1_loss
+
+    plys = sorted(
+        glob.glob(os.path.join(args.model, "point_cloud", "iteration_*")),
+        key=lambda p: int(re.search(r"iteration_(\d+)", p).group(1)),
+    )
+    if not plys:
+        print(json.dumps({"error": f"no checkpoint under {args.model}"}))
+        raise SystemExit(1)
+    ply_path = os.path.join(plys[-1], "point_cloud.ply")
+    data = load_gaussian_ply(ply_path)
+    n = data["xyz"].shape[0]
+    cap = max(1 << (n - 1).bit_length(), 1024)
+    params = pad_gaussian_params(capacity=cap, **data)
+    aux = GaussianAux.create(cap, n)
+    sh_degree = int(round(np.sqrt(data["features_rest"].shape[1] + 1))) - 1
+    print(f"checkpoint {ply_path}: {n} gaussians, SH degree {sh_degree}, "
+          f"capacity {cap}", flush=True)
+
+    tw, th = (int(v) for v in args.tile.split("x"))
+    W, H = args.width, args.height
+    camera = _orbit_camera(args.orbit, W, H)
+    on_tpu = jax.default_backend() == "tpu"
+    bg = jnp.zeros(3, jnp.float32)
+    gt = jnp.zeros((3, H, W), jnp.float32)
+
+    # Size the budgets to the scene's true pair count (+3% headroom, like
+    # the trainer's self-sizing budgets).
+    cfg = RasterConfig(tile_w=tw, tile_h=th, strips=args.strips,
+                       max_instances=2 ** 22, max_rows=2 ** 22,
+                       interpret=not on_tpu)
+    probe = jax.jit(
+        lambda p: render(p, camera, active_sh_degree=sh_degree, bg_color=bg,
+                         cfg=cfg, alive=aux.alive)
+    )(params)
+    n_inst = int(probe.num_instances)
+    n_rows = int(probe.num_rows)
+    mi = args.max_instances or pow2_budget(n_inst, 1.03)
+    mr = pow2_budget(n_rows, 1.03)
+    cfg = RasterConfig(tile_w=tw, tile_h=th, strips=args.strips,
+                       max_instances=mi, max_rows=mr, interpret=not on_tpu)
+    print(f"pairs {n_inst} rows {n_rows} -> budgets inst {mi} rows {mr}",
+          flush=True)
+
+    def loss_fn(p, off):
+        out = render(p, camera, active_sh_degree=sh_degree, bg_color=bg,
+                     cfg=cfg, alive=aux.alive, mean2d_offset=off)
+        return l1_loss(out.image, gt)
+
+    @jax.jit
+    def step(p, off):
+        loss, (gp, _) = jax.value_and_grad(loss_fn, (0, 1))(p, off)
+        return loss, jax.tree.map(lambda a, b: a - 0.0 * b, p, gp)
+
+    @jax.jit
+    def fwd(p, off):
+        return loss_fn(p, off)
+
+    offset = jnp.zeros((cap, 2), jnp.float32)
+    results = {"tile": args.tile, "strips": args.strips,
+               "n_gaussians": n, "width": W, "height": H,
+               "pairs": n_inst}
+    for name, fn in (("fwd_bwd", step), ("fwd_only", fwd)):
+        out = fn(params, offset)
+        carry = params
+        _ = np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[:1]))
+        t0 = time.perf_counter()
+        if name == "fwd_bwd":
+            for _ in range(args.iters):
+                loss, carry = fn(carry, offset)
+            _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+        else:
+            loss = None
+            for _ in range(args.iters):
+                loss = fn(carry, offset) + (0.0 if loss is None else 0.0 * loss)
+            _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+        ms = (time.perf_counter() - t0) / args.iters * 1000
+        results[f"{name}_ms"] = round(ms, 2)
+        results[f"{name}_px_per_s"] = round(W * H / (ms / 1000), 1)
+        print(f"{name}: {ms:.2f} ms ({W * H / ms * 1000 / 1e6:.2f} M px/s"
+              f"{'' if name == 'fwd_bwd' else f', {1000 / ms:.1f} fps'})",
+              flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

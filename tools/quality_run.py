@@ -103,6 +103,39 @@ def main() -> None:
     wall = time.perf_counter() - t0
     tb.close()
 
+    # Final held-out eval with SSIM and rendered-image dumps (VERDICT r2:
+    # PSNR alone under-reports; include SSIM and PNGs to eyeball).
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from gsjax.image_metrics import psnr as psnr_fn
+    from gsjax.train.loss import ssim as ssim_fn
+
+    render_dir = os.path.join(
+        os.path.dirname(args.out) or ".", "quality_renders"
+    )
+    os.makedirs(render_dir, exist_ok=True)
+    final_views = []
+    for b, bank in enumerate(scene.get_test_banks()):
+        for i in range(bank.count):
+            cam, gt = bank.pick(jnp.int32(i))
+            img = jnp.clip(trainer.render_view(cam), 0.0, 1.0)
+            final_views.append(
+                {
+                    "view": f"{b}_{i}",
+                    "psnr": round(float(psnr_fn(img, gt).mean()), 3),
+                    "ssim": round(float(ssim_fn(img, gt)), 4),
+                }
+            )
+            if len(final_views) <= 4:
+                pair = np.concatenate(
+                    [np.asarray(img), np.asarray(jnp.clip(gt, 0, 1))], axis=2
+                )  # render | gt side by side
+                Image.fromarray(
+                    np.round(pair.transpose(1, 2, 0) * 255).astype(np.uint8)
+                ).save(os.path.join(render_dir, f"test_{b}_{i}.png"))
+
     log = captured.getvalue()
     evals = [
         {"iteration": int(m.group(1)), "split": m.group(2),
@@ -136,6 +169,12 @@ def main() -> None:
         "test_psnr_curve": test_curve,
         "train_evals": [e for e in evals if e["split"] == "train"],
         "final_test_psnr": test_curve[-1]["psnr"] if test_curve else None,
+        "final_per_view": final_views,
+        "final_test_ssim": (
+            round(float(np.mean([v["ssim"] for v in final_views])), 4)
+            if final_views else None
+        ),
+        "renders_dir": render_dir,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -113,13 +113,18 @@ def generate(
     root: str,
     *,
     res: int = 400,
-    n_train: int = 28,
-    n_test: int = 4,
+    n_train: int = 96,
+    n_test: int = 8,
     n_spheres: int = 24,
     n_seed_points: int = 5_000,
     fov_x: float = 0.85,
     seed: int = 11,
 ) -> str:
+    """n_train default raised 28 -> 96: at 999k Gaussians the densified
+    model has ~13x more parameters than a 28-view dataset has pixels, and
+    the round-2 quality run overfit (held-out PSNR peaked at iter 1500 and
+    decayed). Reference benchmark scenes carry 100-300 views
+    (/root/reference/full_eval.py:15-18 datasets)."""
     from PIL import Image
 
     from gsjax.data.ply import store_points_ply
@@ -138,7 +143,11 @@ def generate(
         os.makedirs(os.path.join(root, name), exist_ok=True)
         for i in range(n):
             angle = (i + offset) * (2 * np.pi / n)
-            elev = 0.3 + 0.25 * ((i * 7919) % n) / max(n - 1, 1)
+            # Three interleaved elevation rings (plus jitter) so the view
+            # set constrains the scene vertically, not just around one orbit.
+            elev = (0.15, 0.4, 0.65)[i % 3] + 0.08 * (
+                ((i * 7919) % n) / max(n - 1, 1) - 0.5
+            )
             c2w = camera_pose(angle, elev)
             d_cam = np.stack([gx, gy, -np.ones_like(gx)], axis=-1)
             d_world = np.einsum("rc,hwc->hwr", c2w[:3, :3], d_cam)

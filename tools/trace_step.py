@@ -1,7 +1,11 @@
 """Trace one bench train step with jax.profiler and dump the per-op
 device-time breakdown from the xplane proto — finds the wall-clock that
 stage-isolated timing misses (fusions, transposes, layout changes,
-dispatch gaps)."""
+dispatch gaps).
+
+--sharded traces make_sharded_train_step on a (data=1, tile=1) mesh
+instead (the round-2 pathology: 24x slower than the plain step on real
+TPU while virtual-CPU parity tests pass)."""
 
 from __future__ import annotations
 
@@ -25,7 +29,38 @@ N = 500_000
 TRACE_DIR = "/tmp/gsjax_trace"
 
 
+def _sharded_step_fn(params, aux, camera, cfg):
+    from gsjax.config import OptimizationConfig
+    from gsjax.parallel.mesh import make_mesh
+    from gsjax.parallel.step import make_sharded_train_step
+    from gsjax.train.optimizer import adam_init
+    from gsjax.train.step import TrainState
+
+    mesh = make_mesh(jax.devices()[:1], data=1, tile=1)
+    step = make_sharded_train_step(
+        mesh, height=HEIGHT, width=WIDTH, active_sh_degree=3,
+        opt_cfg=OptimizationConfig(), raster_cfg=cfg, spatial_lr_scale=1.0,
+    )
+    gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
+    bg = jnp.zeros(3, jnp.float32)
+    args = (
+        camera.view[None], camera.full_proj[None], camera.cam_center[None],
+        camera.tan_fovx[None], camera.tan_fovy[None], gt[None], bg,
+    )
+    state = TrainState(
+        params=params, opt=adam_init(params), aux=aux,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    def run(state):
+        new_state, metrics = step(state, *args)
+        return metrics.loss, new_state
+
+    return run, state
+
+
 def main() -> None:
+    sharded = "--sharded" in sys.argv
     params, aux = random_scene(
         N, capacity=N, sh_degree=3, seed=0, spread=2.5,
         scale_range=(0.004, 0.03),
@@ -43,19 +78,36 @@ def main() -> None:
         return l1_loss(out.image, gt)
 
     @jax.jit
-    def step(p, off):
+    def plain_step(p, off):
         loss, (gp, go) = jax.value_and_grad(loss_fn, (0, 1))(p, off)
         newp = jax.tree.map(lambda a, b: a - 0.0 * b, p, gp)
         return loss, newp
 
-    offset = jnp.zeros((N, 2), jnp.float32)
+    if sharded:
+        run, carry = _sharded_step_fn(params, aux, camera, cfg)
+    else:
+        offset = jnp.zeros((N, 2), jnp.float32)
+        carry = params
+
+        def run(p):
+            loss, newp = plain_step(p, offset)
+            return loss, newp
+
+    import time
+
     for _ in range(3):
-        loss, params = step(params, offset)
+        loss, carry = run(carry)
     _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        loss, carry = run(carry)
+    _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+    print(f"[{'sharded' if sharded else 'plain'}] "
+          f"{(time.perf_counter() - t0) / 4 * 1000:.1f} ms/step", flush=True)
 
     with jax.profiler.trace(TRACE_DIR):
         for _ in range(4):
-            loss, params = step(params, offset)
+            loss, carry = run(carry)
         _ = np.asarray(jax.device_get(loss.ravel()[:1]))
 
     # Parse the xplane proto: aggregate device-plane op durations.
