@@ -39,6 +39,61 @@ def slab_rows(height: int, n_tile: int, tile_h: int) -> int:
     return -(-tiles_y // n_tile)
 
 
+def composite_slab(
+    mean_pix: jnp.ndarray,
+    conic: jnp.ndarray,
+    rgb: jnp.ndarray,
+    opacity: jnp.ndarray,
+    depth: jnp.ndarray,
+    ext: jnp.ndarray,
+    qmax: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+    cfg: RasterConfig,
+    py0: jnp.ndarray,
+    rows: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Bin + composite preprocessed Gaussians into the slab of `rows` tile
+    rows starting at pixel row `py0`. Differentiable in (mean_pix, conic,
+    rgb, opacity); depth/ext/qmax are binning-only (stop-gradient inside).
+
+    Returns (color [3, rows*ts, W_pad], transmittance [rows*ts, W_pad],
+    counts [num_instances, num_rows] int32) — uncropped tile-space slab, no
+    background applied.
+    """
+    tiles_x, _ = num_tiles(height, width, cfg.tw, cfg.th)
+    slab_px = rows * cfg.th
+    w_pad = tiles_x * cfg.tw
+
+    shift = jnp.stack([jnp.zeros_like(py0), py0])
+    mean_local = mean_pix - shift[None, :].astype(jnp.float32)
+
+    binning = bin_gaussians(
+        mean_local, depth, ext, conic, qmax, slab_px, w_pad, cfg
+    )
+    static = CompositeStatic(
+        n_tiles=tiles_x * rows,
+        tiles_x=tiles_x,
+        tile_w=cfg.tw,
+        tile_h=cfg.th,
+        chunk=cfg.chunk,
+        strips=cfg.strips,
+        interpret=cfg.interpret,
+    )
+    fields = pack_fields(mean_local, conic, rgb, opacity)
+    # permute_rows' custom VJP is an inverse-permutation gather — never let
+    # autodiff transpose a take() into an element-rate scatter-add on TPU.
+    tile_color, tile_t = composite(
+        permute_rows(fields, binning.perm), binning, static
+    )
+    color, transmittance = untile_image(
+        tile_color, tile_t, slab_px, w_pad, tiles_x, rows, cfg.tw, cfg.th
+    )
+    counts = jnp.stack([binning.num_instances, binning.num_rows])
+    return color, transmittance, counts
+
+
 def render_slab(
     params: GaussianParams,
     camera: Camera,
@@ -58,10 +113,6 @@ def render_slab(
     tile-space slab, no background applied (composite bg after the
     cross-device gather).
     """
-    tiles_x, _ = num_tiles(camera.height, camera.width, cfg.tw, cfg.th)
-    slab_px = rows * cfg.th
-    w_pad = tiles_x * cfg.tw
-
     proj = preprocess(
         xyz=params.xyz,
         sh=params.get_features(),
@@ -74,31 +125,11 @@ def render_slab(
         mean2d_offset=mean2d_offset,
         alive=alive,
     )
-    shift = jnp.stack([jnp.zeros_like(py0), py0])
-    mean_local = proj.mean_pix - shift[None, :].astype(jnp.float32)
-
-    binning = bin_gaussians(
-        mean_local, proj.depth, proj.ext, proj.conic, proj.qmax, slab_px, w_pad, cfg
+    color, transmittance, counts = composite_slab(
+        proj.mean_pix, proj.conic, proj.rgb, proj.opacity,
+        proj.depth, proj.ext, proj.qmax,
+        height=camera.height, width=camera.width, cfg=cfg, py0=py0, rows=rows,
     )
-    static = CompositeStatic(
-        n_tiles=tiles_x * rows,
-        tiles_x=tiles_x,
-        tile_w=cfg.tw,
-        tile_h=cfg.th,
-        chunk=cfg.chunk,
-        strips=cfg.strips,
-        interpret=cfg.interpret,
-    )
-    fields = pack_fields(mean_local, proj.conic, proj.rgb, proj.opacity)
-    # permute_rows' custom VJP is an inverse-permutation gather — never let
-    # autodiff transpose a take() into an element-rate scatter-add on TPU.
-    tile_color, tile_t = composite(
-        permute_rows(fields, binning.perm), binning, static
-    )
-    color, transmittance = untile_image(
-        tile_color, tile_t, slab_px, w_pad, tiles_x, rows, cfg.tw, cfg.th
-    )
-    counts = jnp.stack([binning.num_instances, binning.num_rows])
     return color, transmittance, proj.radius, counts
 
 

@@ -605,6 +605,44 @@ class Trainer:
         }
         self._sharded_cache.clear()
 
+    def _eval_bank_fn(self, bank: CameraBank):
+        """Cached scanned on-device eval over a view-index array: ONE
+        dispatch computes per-view (l1, psnr) for the whole bank instead of
+        a Python loop of per-view renders (per-view dispatch round trips
+        dominate at reference scale — hundreds of held-out views at the
+        7k/30k evals)."""
+        shs = self.pipe_cfg.convert_SHs_python
+        cov = self.pipe_cfg.compute_cov3D_python
+        key = (
+            "eval", bank.width, bank.height, self.active_sh_degree,
+            shs, cov, self.raster_cfg,
+        )
+        if key not in self._render_cache:
+            cfg = self.raster_cfg
+            sh_deg = self.active_sh_degree
+
+            @jax.jit
+            def _eval(params, alive, bank, idxs, bg):
+                def body(_, i):
+                    cam, gt = bank.pick(i)
+                    img = render(
+                        params, cam, active_sh_degree=sh_deg, bg_color=bg,
+                        cfg=cfg, alive=alive,
+                        convert_shs_outside=shs,
+                        compute_cov3d_outside=cov,
+                    ).image
+                    img = jnp.clip(img, 0.0, 1.0)
+                    return None, (
+                        jnp.mean(jnp.abs(img - gt)),
+                        psnr_fn(img, gt).mean(),
+                    )
+
+                _, (l1s, ps) = jax.lax.scan(body, None, idxs)
+                return l1s, ps
+
+            self._render_cache[key] = _eval
+        return self._render_cache[key]
+
     def _report_test(self, iteration: int, first_test: bool = False) -> None:
         """Held-out evaluation (reference: train.py:156-191)."""
         for name, banks in (
@@ -618,14 +656,27 @@ class Trainer:
                 views = views[:: max(len(views) // 5, 1)][:5]
             if not views:
                 continue
+            # Metrics: one scanned dispatch per bank.
             l1s, psnrs = [], []
-            for idx, (b, i) in enumerate(views):
-                bank = banks[b]
-                cam, gt = bank.pick(jnp.int32(i))
-                img = jnp.clip(self.render_view(cam), 0.0, 1.0)
-                if self.tb is not None and idx < 5:
-                    # First-5 renders, GT once at the first test iteration
-                    # (reference: train.py:176-179).
+            for b, bank in enumerate(banks):
+                idxs = jnp.asarray(
+                    [i for bb, i in views if bb == b], jnp.int32
+                )
+                if idxs.size == 0:
+                    continue
+                bl1, bps = self._eval_bank_fn(bank)(
+                    self.state.params, self.state.aux.alive, bank, idxs,
+                    self.background,
+                )
+                l1s += [float(v) for v in np.asarray(bl1)]
+                psnrs += [float(v) for v in np.asarray(bps)]
+            # TB images: first-5 renders, GT once at the first test
+            # iteration (reference: train.py:176-179).
+            if self.tb is not None:
+                for b, i in views[:5]:
+                    bank = banks[b]
+                    cam, gt = bank.pick(jnp.int32(i))
+                    img = jnp.clip(self.render_view(cam), 0.0, 1.0)
                     self.tb.add_images(
                         f"{name}_view_{b}_{i}/render",
                         np.asarray(img)[None],
@@ -637,8 +688,6 @@ class Trainer:
                             np.asarray(jnp.clip(gt, 0.0, 1.0))[None],
                             global_step=iteration,
                         )
-                l1s.append(float(jnp.mean(jnp.abs(img - gt))))
-                psnrs.append(float(psnr_fn(img, gt).mean()))
             l1 = float(np.mean(l1s))
             ps = float(np.mean(psnrs))
             print(
