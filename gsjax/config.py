@@ -99,6 +99,13 @@ class RasterConfig:
         whole horizontal strip). The skip is exact for any partition;
         finer strips skip more saturated work but shrink each vector op.
       interpret: run Pallas kernels in interpreter mode (CPU tests/debug).
+      fast_fwd: INFERENCE-ONLY bf16 fast path in the forward composite
+        kernel — drops the lo-half corrections of the MXU triangular
+        cumsums (the kernel's per-chunk cost floor). ~1e-3 relative
+        transmittance error, invisible at 8-bit display depth; the viewer
+        and fps benchmarks opt in. Differentiating a render with fast_fwd
+        set raises (the backward's exact replay would be inconsistent with
+        the approximate forward).
     """
 
     tile_size: int = 16
@@ -109,6 +116,7 @@ class RasterConfig:
     max_instances: int = 2 ** 21
     max_rows: int = 2 ** 21
     interpret: bool = False
+    fast_fwd: bool = False
 
     def __post_init__(self) -> None:
         # The kernels DMA whole chunk-sized slices of the instance stream;

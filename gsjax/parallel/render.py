@@ -80,6 +80,7 @@ def composite_slab(
         chunk=cfg.chunk,
         strips=cfg.strips,
         interpret=cfg.interpret,
+        fast_fwd=cfg.fast_fwd,
     )
     fields = pack_fields(mean_local, conic, rgb, opacity)
     # permute_rows' custom VJP is an inverse-permutation gather — never let

@@ -123,6 +123,7 @@ def render(
         chunk=cfg.chunk,
         strips=cfg.strips,
         interpret=cfg.interpret,
+        fast_fwd=cfg.fast_fwd,
     )
     # Depth-permute the packed differentiable fields (one N-rate gather;
     # permute_rows' custom VJP maps cotangents back to original order with

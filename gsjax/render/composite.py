@@ -48,6 +48,7 @@ class CompositeStatic(NamedTuple):
     chunk: int
     strips: int
     interpret: bool
+    fast_fwd: bool = False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -92,6 +93,7 @@ def _composite_fwd(fields, binning, static):
         chunk=static.chunk,
         strips=static.strips,
         interpret=static.interpret,
+        fast=static.fast_fwd,
     )
     tile_t = tile_t3[..., 0]  # kernels carry [T, PIX, 1] for TPU block rules
     # inst is kept as a residual (~P*64B of HBM) — rebuilding it in the
@@ -101,6 +103,12 @@ def _composite_fwd(fields, binning, static):
 
 
 def _composite_bwd(static, residuals, cotangents):
+    if static.fast_fwd:
+        raise ValueError(
+            "cannot differentiate a fast_fwd render: the backward's exact "
+            "replay would be inconsistent with the bf16 forward "
+            "(RasterConfig.fast_fwd is inference-only)"
+        )
     inst, binning, tile_color, tile_t = residuals
     d_color, d_t = cotangents
     # Per-tile initial suffix A' = sum_ch dC*C_total + dT*T_final, at image

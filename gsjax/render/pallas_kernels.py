@@ -73,6 +73,7 @@ def _fwd_kernel(
     tile_h: int,
     chunk: int,
     strips: int,
+    fast: bool,
 ):
     t = pl.program_id(0)
     last_t = pl.num_programs(0) - 1
@@ -129,7 +130,7 @@ def _fwd_kernel(
                 t_c, done_c, acc_c = op
                 inst = inst_vmem[slot]
                 t_out, done_out, contrib = chunk_forward(
-                    inst, pxs[s], pys[s], t_c, done_c, mask
+                    inst, pxs[s], pys[s], t_c, done_c, mask, fast=fast
                 )
                 return (
                     t_out, done_out, jnp.min(done_out) >= 0.5, acc_c + contrib
@@ -190,7 +191,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "n_tiles", "tiles_x", "tile_w", "tile_h", "chunk", "strips",
-        "interpret",
+        "interpret", "fast",
     ),
 )
 def composite_forward_pallas(
@@ -204,6 +205,7 @@ def composite_forward_pallas(
     chunk: int,
     strips: int = 1,
     interpret: bool = False,
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tile_color [T, PIX, 3], tile_t [T, PIX, 1])."""
     pix = tile_w * tile_h
@@ -221,7 +223,7 @@ def composite_forward_pallas(
     )
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        chunk=chunk, strips=strips,
+        chunk=chunk, strips=strips, fast=fast,
     )
     fused = pl.pallas_call(
         kernel,

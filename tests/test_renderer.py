@@ -96,6 +96,35 @@ class TestForward:
         )
         assert int(out.num_instances) > 0
 
+    def test_fast_fwd_close_to_exact_and_guarded(self, scene, camera,
+                                                 oracle_image):
+        """RasterConfig.fast_fwd (inference-only bf16 cumsums) stays within
+        display accuracy of the exact forward, and differentiating it
+        raises instead of silently returning inconsistent gradients."""
+        import dataclasses
+
+        params, aux = scene
+        fast_cfg = dataclasses.replace(CFG, fast_fwd=True)
+        img = np.asarray(
+            render(
+                params, camera, active_sh_degree=3, bg_color=BG,
+                cfg=fast_cfg, alive=aux.alive,
+            ).image
+        )
+        err = np.abs(img - oracle_image).max()
+        assert err < 4e-3, f"fast_fwd max error {err} vs oracle"  # < 1/255
+
+        def loss(p):
+            return jnp.sum(
+                render(
+                    p, camera, active_sh_degree=3, bg_color=BG,
+                    cfg=fast_cfg, alive=aux.alive,
+                ).image
+            )
+
+        with pytest.raises(ValueError, match="fast_fwd"):
+            jax.grad(loss)(params)
+
     def test_background_only(self, scene, camera):
         params, aux = scene
         # Move all gaussians behind the camera -> pure background image.

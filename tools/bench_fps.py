@@ -35,33 +35,35 @@ def main() -> None:
         (1920, 1080, 1_179_648, 524_288),
         (960, 540, 524_288, 262_144),
     ):
-        camera = look_at_origin_camera(width=width, height=height)
-        cfg = RasterConfig(
-            tile_w=32, tile_h=32, max_instances=maxi, max_rows=maxr,
-            interpret=not on_tpu,
-        )
-        bg = jnp.zeros(3, jnp.float32)
+        for fast in (False, True):
+            camera = look_at_origin_camera(width=width, height=height)
+            cfg = RasterConfig(
+                tile_w=32, tile_h=32, max_instances=maxi, max_rows=maxr,
+                interpret=not on_tpu, fast_fwd=fast,
+            )
+            bg = jnp.zeros(3, jnp.float32)
 
-        fwd = jax.jit(
-            lambda p, a: render(
-                p, camera, active_sh_degree=3, bg_color=bg, cfg=cfg, alive=a
-            ).image
-        )
-        img = fwd(params, aux.alive)
-        _ = np.asarray(jax.device_get(img.ravel()[:1]))
-        n_inst = int(render(
-            params, camera, active_sh_degree=3, bg_color=bg, cfg=cfg,
-            alive=aux.alive).num_instances)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
+            fwd = jax.jit(
+                lambda p, a: render(
+                    p, camera, active_sh_degree=3, bg_color=bg, cfg=cfg,
+                    alive=a
+                ).image
+            )
             img = fwd(params, aux.alive)
-        _ = np.asarray(jax.device_get(img.ravel()[:1]))
-        dt = (time.perf_counter() - t0) / ITERS
-        print(
-            f"{width}x{height}: {1.0 / dt:6.1f} fps ({dt * 1000:.1f} ms; "
-            f"{n_inst} pairs)",
-            flush=True,
-        )
+            _ = np.asarray(jax.device_get(img.ravel()[:1]))
+            n_inst = int(render(
+                params, camera, active_sh_degree=3, bg_color=bg, cfg=cfg,
+                alive=aux.alive).num_instances)
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                img = fwd(params, aux.alive)
+            _ = np.asarray(jax.device_get(img.ravel()[:1]))
+            dt = (time.perf_counter() - t0) / ITERS
+            print(
+                f"{width}x{height}{' fast_fwd' if fast else '         '}: "
+                f"{1.0 / dt:6.1f} fps ({dt * 1000:.1f} ms; {n_inst} pairs)",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
