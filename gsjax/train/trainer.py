@@ -179,12 +179,16 @@ class Trainer:
         scaling_modifier: float = 1.0,
         shs_python: bool | None = None,
         cov3d_python: bool | None = None,
+        fast: bool = False,
     ):
         """One render through the public API (used by GUI + eval). The
         *_python flags select the standalone mirror math paths
         (reference pipe.convert_SHs_python / compute_cov3D_python,
         gaussian_renderer/__init__.py:57-82); they default to the
-        PipelineConfig settings."""
+        PipelineConfig settings. fast=True opts into the inference-only
+        bf16 forward (display-accuracy; used by the GUI frame path)."""
+        import dataclasses
+
         shs = self.pipe_cfg.convert_SHs_python if shs_python is None else shs_python
         cov = (
             self.pipe_cfg.compute_cov3D_python
@@ -193,10 +197,13 @@ class Trainer:
         )
         key = (
             camera.width, camera.height, self.active_sh_degree, shs, cov,
-            self.raster_cfg,
+            fast, self.raster_cfg,
         )
         if key not in self._render_cache:
-            cfg = self.raster_cfg
+            cfg = (
+                dataclasses.replace(self.raster_cfg, fast_fwd=True)
+                if fast else self.raster_cfg
+            )
 
             @jax.jit
             def _r(params, camera, alive, bg, sm):
@@ -718,11 +725,14 @@ class Trainer:
                 image_bytes = None
                 req = gui.receive()
                 if req.camera is not None:
+                    # GUI frames are 8-bit display output — the bf16
+                    # fast-forward is indistinguishable there.
                     img = self.render_view(
                         req.camera,
                         req.scaling_modifier,
                         shs_python=req.do_shs_python,
                         cov3d_python=req.do_rot_scale_python,
+                        fast=True,
                     )
                     image_bytes = gui.image_to_bytes(img)
                 gui.send(image_bytes, self.model_cfg.source_path)
