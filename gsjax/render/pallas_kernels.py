@@ -380,7 +380,6 @@ def _bwd_kernel(
     # scratch
     inst_vmem,
     carry_vmem,
-    flush_vmem,
     read_sems,
     write_sems,
     carry_smem,
@@ -404,8 +403,11 @@ def _bwd_kernel(
     pys = [py[s * sub:(s + 1) * sub] for s in range(strips)]
     bases = [moment_basis(pxs[s], pys[s]) for s in range(strips)]
 
-    # carry_smem: [0] = chunk index held in carry_vmem (-1 none);
-    #             [1] = flush counter (for staging-slot rotation).
+    # carry_smem: [0] = chunk index held in the active carry slot (-1 none);
+    #             [1] = flush counter. The carry block is double-buffered
+    #             and DMA'd to HBM IN PLACE (slot = count % 2): accumulation
+    #             epoch k writes slot k%2 while epoch k-1's flush drains
+    #             from the other slot — no staging copy per flush.
     @pl.when(t == 0)
     def _():
         carry_smem[0] = -1
@@ -437,22 +439,19 @@ def _bwd_kernel(
 
     def write_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            flush_vmem.at[slot],
+            carry_vmem.at[slot],
             grads_hbm.at[:, pl.ds(chunk_idx * chunk, chunk)],
             write_sems.at[slot],
         )
 
     def flush_carry():
-        """Stage the carry block and DMA it to its chunk's stream slot."""
+        """DMA the active carry slot to its chunk's stream slot and rotate.
+
+        The NEXT accumulation epoch's slot ((count+1) % 2) may still have
+        its own flush (count-1) in flight; that wait happens at the first
+        write of the new epoch (see body)."""
         count = carry_smem[1]
-        slot = count % 2
-
-        @pl.when(count >= 2)
-        def _():
-            write_dma(slot, 0).wait()  # chunk idx irrelevant for wait
-
-        flush_vmem[slot] = carry_vmem[:]
-        write_dma(slot, carry_smem[0]).start()
+        write_dma(count % 2, carry_smem[0]).start()
         carry_smem[1] = count + 1
 
     # Warm-up: fill the nbuf-deep prefetch pipeline (see forward kernel).
@@ -512,7 +511,8 @@ def _bwd_kernel(
 
         @pl.when(any_live & (chunk_idx == held))
         def _():
-            carry_vmem[:] = carry_vmem[:] + grads
+            slot = carry_smem[1] % 2
+            carry_vmem[slot] = carry_vmem[slot] + grads
 
         @pl.when(any_live & (chunk_idx != held))
         def _():
@@ -520,7 +520,15 @@ def _bwd_kernel(
             def _():
                 flush_carry()
 
-            carry_vmem[:] = grads
+            count = carry_smem[1]
+
+            # The new epoch's slot was last used by flush count-2; wait for
+            # that DMA before overwriting it.
+            @pl.when(count >= 2)
+            def _():
+                write_dma(count % 2, 0).wait()  # chunk idx irrelevant
+
+            carry_vmem[count % 2] = grads
             carry_smem[0] = chunk_idx
 
         return tuple(out)
@@ -598,8 +606,7 @@ def composite_backward_pallas(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((4, ROWS, chunk), jnp.float32),  # read slots
-            pltpu.VMEM((ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, ROWS, chunk), jnp.float32),  # carry (DMA'd in place)
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((2,), jnp.int32),
