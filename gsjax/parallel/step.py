@@ -68,7 +68,7 @@ def make_sharded_train_step(
     lam = opt_cfg.lambda_dssim
     npix = 3.0 * height * width
 
-    def local_obj(mean_pix, conic, rgb, opacity, proj, camera, gt, bg):
+    def local_obj(mean_pix, conic, rgb, opacity, proj, gt, bg):
         """Per-device objective over this device's slab rows; the full-image
         loss is sum_over_tile(local_obj) + lambda_dssim. Differentiable in
         the four raster-level fields only — the param chain is applied AFTER
@@ -168,7 +168,7 @@ def make_sharded_train_step(
         )
         obj, slab_pull, (ninst, l1_sum) = jax.vjp(
             lambda mp, co, rgb, op: local_obj(
-                mp, co, rgb, op, proj, camera, gt_img, bg
+                mp, co, rgb, op, proj, gt_img, bg
             ),
             *fields,
             has_aux=True,
