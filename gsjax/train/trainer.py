@@ -16,7 +16,6 @@ TPU specifics:
 
 from __future__ import annotations
 
-import functools
 import os
 import random
 import time
@@ -45,7 +44,7 @@ from gsjax.scene import CameraBank, Scene
 from gsjax.train.checkpoint import load_checkpoint, save_checkpoint
 from gsjax.train.densify import densify_and_prune, reset_opacity
 from gsjax.train.optimizer import AdamState, adam_init
-from gsjax.train.step import TrainState, train_step, train_steps
+from gsjax.train.step import TrainState, train_steps
 
 
 def grow_capacity(state: TrainState, new_cap: int) -> TrainState:
