@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 TPU measurement queue, phase 1 (STATUS.md "TPU-gated measurement
+# queue"). Waits for the tunnel waiter's /tmp/tpu_alive marker, then runs
+# the short benches SERIALLY (two concurrent TPU clients wedge the tunnel).
+# Logs to artifacts/tpu_queue_r3/. The long quality run (queue items 5-6)
+# is launched separately once these numbers are in.
+set -u
+cd /root/repo
+OUT=artifacts/tpu_queue_r3
+mkdir -p "$OUT"
+
+while [ ! -f /tmp/tpu_alive ]; do sleep 30; done
+echo "[queue] TPU alive; starting at $(date -u +%H:%M:%S)"
+
+run() {
+  local name="$1"; shift
+  echo "[queue] === $name: $* (start $(date -u +%H:%M:%S))"
+  timeout "$QTIMEOUT" python -u "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "[queue] === $name done rc=$rc ($(date -u +%H:%M:%S))"
+  tail -n 3 "$OUT/$name.log" | sed "s/^/[$name] /"
+  # A hang here usually means the tunnel wedged again; give it time to
+  # drain dead connections before the next client (see memory notes).
+  if [ $rc -ne 0 ]; then sleep 180; fi
+}
+
+QTIMEOUT=1800 run bench       bench.py
+QTIMEOUT=2400 run mesh        tools/bench_mesh_overhead.py
+QTIMEOUT=2400 run fps         tools/bench_fps.py
+QTIMEOUT=2400 run trained     tools/bench_trained.py --model /tmp/gsjax_quality_model
+echo "[queue] phase 1 complete $(date -u +%H:%M:%S)"
