@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -70,6 +71,27 @@ def _depthwise_conv(
     return out
 
 
+def _ssim_terms(img1, img2, window_size, sigma, pad_h):
+    """Conv outputs and the four SSIM factor maps A,B,C,D with
+    S = A*B/(C*D) (same algebra as the reference's fraction,
+    utils/loss_utils.py:52-63)."""
+    window = _gaussian_taps(window_size, sigma)
+    pad = window_size // 2
+    mu1 = _depthwise_conv(img1, window, pad, pad_h)
+    mu2 = _depthwise_conv(img2, window, pad, pad_h)
+    e1 = _depthwise_conv(img1 * img1, window, pad, pad_h)
+    e2 = _depthwise_conv(img2 * img2, window, pad, pad_h)
+    e12 = _depthwise_conv(img1 * img2, window, pad, pad_h)
+    c1 = 0.01**2
+    c2 = 0.03**2
+    a = 2.0 * mu1 * mu2 + c1
+    b = 2.0 * (e12 - mu1 * mu2) + c2
+    c = mu1 * mu1 + mu2 * mu2 + c1
+    d = (e1 - mu1 * mu1) + (e2 - mu2 * mu2) + c2
+    return mu1, mu2, a, b, c, d
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def ssim_map(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
@@ -81,22 +103,62 @@ def ssim_map(
     utils/loss_utils.py:43-63). With pad_h=False the inputs must carry
     window_size//2 halo rows top and bottom; the map covers only the
     interior rows (exactly what a full-image computation would produce for
-    those rows)."""
+    those rows).
+
+    Closed-form VJP: autodiff of the slice-FMA window expands the conv
+    transpose into one image-rate pad per tap (~40 materialized [C,H,W]
+    pad fusions in the compiled backward — tools/cpu_ssim_fusion_probe.py);
+    the hand-written backward is 4 adjoint window convs + elementwise maps.
+    """
+    _, _, a, b, c, d = _ssim_terms(img1, img2, window_size, sigma, pad_h)
+    return (a * b) / (c * d)
+
+
+def _ssim_map_fwd(img1, img2, window_size, sigma, pad_h):
+    mu1, mu2, a, b, c, d = _ssim_terms(img1, img2, window_size, sigma, pad_h)
+    return (a * b) / (c * d), (img1, img2, mu1, mu2, a, b, c, d)
+
+
+def _ssim_map_bwd(window_size, sigma, pad_h, res, u):
+    """d/dimg of S = A*B/(C*D) through the five window convs.
+
+    With G the (self-adjoint: symmetric taps, zero padding) window conv and
+    G* its adjoint, writing p = u*B/(CD), q = u*A/(CD), r = -q*B/C,
+    t = -q*B/D:
+      d_img1 = G*(2(mu2(p-q) + mu1(r-t))) + 2 img1 G*(t) + img2 G*(2q)
+      d_img2 = G*(2(mu1(p-q) + mu2(r-t))) + 2 img2 G*(t) + img1 G*(2q)
+    For pad_h=False the H pass is VALID over caller-supplied halo rows; its
+    adjoint is the SAME conv of the zero-row-padded cotangent (FULL conv,
+    symmetric taps)."""
+    img1, img2, mu1, mu2, a, b, c, d = res
     window = _gaussian_taps(window_size, sigma)
     pad = window_size // 2
-    mu1 = _depthwise_conv(img1, window, pad, pad_h)
-    mu2 = _depthwise_conv(img2, window, pad, pad_h)
-    mu1_sq = mu1 * mu1
-    mu2_sq = mu2 * mu2
-    mu1_mu2 = mu1 * mu2
-    sigma1_sq = _depthwise_conv(img1 * img1, window, pad, pad_h) - mu1_sq
-    sigma2_sq = _depthwise_conv(img2 * img2, window, pad, pad_h) - mu2_sq
-    sigma12 = _depthwise_conv(img1 * img2, window, pad, pad_h) - mu1_mu2
-    c1 = 0.01**2
-    c2 = 0.03**2
-    return ((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)) / (
-        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
-    )
+
+    if pad_h:
+        gstar = lambda y: _depthwise_conv(y, window, pad, True)
+    else:
+        gstar = lambda y: _depthwise_conv(
+            jnp.pad(y, ((0, 0), (pad, pad), (0, 0))), window, pad, True
+        )
+
+    inv_cd = 1.0 / (c * d)
+    p = u * b * inv_cd
+    q = u * a * inv_cd
+    qb = q * b
+    r = -qb / c
+    t = -qb / d
+    pq = p - q
+    rt = r - t
+    g_mu1 = 2.0 * (mu2 * pq + mu1 * rt)
+    g_mu2 = 2.0 * (mu1 * pq + mu2 * rt)
+    gt = gstar(t)
+    gq2 = gstar(2.0 * q)
+    d1 = gstar(g_mu1) + 2.0 * img1 * gt + img2 * gq2
+    d2 = gstar(g_mu2) + 2.0 * img2 * gt + img1 * gq2
+    return d1, d2
+
+
+ssim_map.defvjp(_ssim_map_fwd, _ssim_map_bwd)
 
 
 def ssim(

@@ -34,6 +34,41 @@ class TestLosses:
         img = jax.random.uniform(jax.random.PRNGKey(0), (3, 32, 32))
         assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
 
+    def test_ssim_map_custom_vjp_matches_autodiff(self):
+        """The closed-form ssim_map backward == plain autodiff of the same
+        algebra, both pad_h variants, w.r.t. BOTH images, under an arbitrary
+        (non-uniform) upstream cotangent."""
+        from gsjax.train.loss import _ssim_terms, ssim_map
+
+        rng = np.random.default_rng(7)
+        for pad_h in (True, False):
+            h = 24 if pad_h else 24 + 10
+            a = jnp.asarray(rng.random((3, h, 20)), jnp.float32)
+            b = jnp.asarray(
+                np.clip(
+                    rng.random((3, h, 20)) + rng.normal(0, 0.2, (3, h, 20)),
+                    0,
+                    1,
+                ),
+                jnp.float32,
+            )
+            h_out = 24
+            w = jnp.asarray(rng.normal(size=(3, h_out, 20)), jnp.float32)
+
+            def obj_custom(a, b):
+                return jnp.sum(w * ssim_map(a, b, 11, 1.5, pad_h))
+
+            def obj_ref(a, b):
+                _, _, A, B, C, D = _ssim_terms(a, b, 11, 1.5, pad_h)
+                return jnp.sum(w * (A * B) / (C * D))
+
+            gc = jax.grad(obj_custom, argnums=(0, 1))(a, b)
+            gr = jax.grad(obj_ref, argnums=(0, 1))(a, b)
+            for x, y in zip(gc, gr):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-5
+                )
+
     def test_ssim_matches_torch(self):
         torch = pytest.importorskip("torch")
         import torch.nn.functional as F
