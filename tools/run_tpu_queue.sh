@@ -24,8 +24,18 @@ run() {
   if [ $rc -ne 0 ]; then sleep 180; fi
 }
 
+# Phase 0: the /verify drive — oracle parity + CLI pipeline on real TPU.
+QTIMEOUT=2400 run verify      tools/verify_drive.py
+
 QTIMEOUT=1800 run bench       bench.py
 QTIMEOUT=2400 run mesh        tools/bench_mesh_overhead.py
 QTIMEOUT=2400 run fps         tools/bench_fps.py
 QTIMEOUT=2400 run trained     tools/bench_trained.py --model /tmp/gsjax_quality_model
 echo "[queue] phase 1 complete $(date -u +%H:%M:%S)"
+
+# Phase 2: the long train-to-quality demonstration (96-view v2 scene).
+QTIMEOUT=14400 run quality    tools/quality_run.py --iterations 15000 \
+  --scene_dir /tmp/gsjax_quality_scene_v2 \
+  --model_dir /tmp/gsjax_quality_model_v2 \
+  --out artifacts/quality_run_v2.json
+echo "[queue] phase 2 complete $(date -u +%H:%M:%S)"
