@@ -31,30 +31,7 @@ WARMUP = 3
 ITERS = 20
 
 
-def _init_backend_with_retry(attempts: int = 3, backoff_s: float = 60.0) -> str:
-    """Initialize the JAX backend, retrying on transient TPU-tunnel failures.
-
-    The tunneled TPU client can hit UNAVAILABLE if a previous client's
-    connection is still draining on the remote side; that state clears on
-    its own within a couple of minutes. On final failure, emit a parseable
-    JSON error line (not a bare traceback) so the driver records a structured
-    artifact.
-    """
-    import jax
-
-    last_err: Exception | None = None
-    for i in range(attempts):
-        try:
-            return jax.default_backend()
-        except Exception as e:  # noqa: BLE001 — backend init raises RuntimeError subclasses
-            last_err = e
-            if i + 1 < attempts:
-                print(
-                    f"# backend init failed (attempt {i + 1}/{attempts}): "
-                    f"{type(e).__name__}; retrying in {backoff_s:.0f}s",
-                    file=sys.stderr,
-                )
-                time.sleep(backoff_s)
+def _emit_error_and_exit(msg: str) -> None:
     print(
         json.dumps(
             {
@@ -62,12 +39,73 @@ def _init_backend_with_retry(attempts: int = 3, backoff_s: float = 60.0) -> str:
                 "value": 0.0,
                 "unit": "pixel/s",
                 "vs_baseline": 0.0,
-                "error": f"backend init failed after {attempts} attempts: "
-                f"{type(last_err).__name__}: {last_err}"[:500],
+                "error": msg[:500],
             }
         )
     )
     raise SystemExit(1)
+
+
+def _probe_backend_subprocess(timeout_s: float) -> tuple[bool, str]:
+    """One-op backend probe in a SUBPROCESS with a hard timeout.
+
+    The tunneled TPU client has two failure modes: a fast UNAVAILABLE raise
+    and an indefinite HANG inside backend init (nothing listening on the
+    relay ports). An in-process try/except only covers the first; a hung
+    client can't be recovered in-process, so probe out-of-process and only
+    initialize this process's backend once a probe succeeds."""
+    import subprocess
+
+    code = (
+        "import jax,jax.numpy as jnp,numpy as np;"
+        "x=(jnp.ones((8,128))@jnp.ones((128,8)));"
+        "print('ok',jax.default_backend(),float(np.asarray(x.ravel()[0])))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            cwd="/root/repo",  # axon plugin discovery needs the repo cwd
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe hang (> {timeout_s:.0f}s)"
+    if r.returncode == 0:
+        return True, r.stdout.strip()
+    return False, (r.stderr or r.stdout).strip()[-300:]
+
+
+def _init_backend_with_retry(attempts: int = 3, backoff_s: float = 60.0) -> str:
+    """Initialize the JAX backend, retrying on transient TPU-tunnel failures
+    (fast UNAVAILABLE raises AND hangs — see _probe_backend_subprocess).
+    On final failure, emit a parseable JSON error line (not a bare
+    traceback) so the driver records a structured artifact."""
+    last = ""
+    for i in range(attempts):
+        ok, detail = _probe_backend_subprocess(timeout_s=300.0)
+        if ok:
+            break
+        last = detail
+        if i + 1 < attempts:
+            print(
+                f"# backend probe failed (attempt {i + 1}/{attempts}): "
+                f"{detail}; retrying in {backoff_s:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(backoff_s)
+    else:
+        _emit_error_and_exit(f"backend init failed after {attempts} probes: {last}")
+
+    import jax
+
+    try:
+        return jax.default_backend()
+    except Exception as e:  # noqa: BLE001 — backend init raises RuntimeError subclasses
+        _emit_error_and_exit(
+            f"backend init failed after successful probe: {type(e).__name__}: {e}"
+        )
+        raise  # unreachable
 
 
 def main() -> None:
