@@ -330,7 +330,7 @@ class TestRectTiles:
     shrink the (gaussian, tile) pair count that every instance-rate stage
     pays for; parity with the oracle must be shape-independent."""
 
-    @pytest.mark.parametrize("tw,th", [(32, 16), (32, 32), (8, 16)])
+    @pytest.mark.parametrize("tw,th", [(32, 16), (32, 32), (8, 16), (64, 32)])
     def test_forward_matches_oracle(self, scene, camera, oracle_image, tw, th):
         params, aux = scene
         cfg = RasterConfig(
