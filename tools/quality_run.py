@@ -92,12 +92,21 @@ def main() -> None:
     real_stdout = sys.stdout
     sys.stdout = Tee(real_stdout, captured)
     t0 = time.perf_counter()
+    crashed = None
     try:
         trainer.train(
             test_iterations=tuple(test_iters),
-            save_iterations=(args.iterations,),
+            # Intermediate saves: a mid-run tunnel death must not lose the
+            # whole multi-hour run (the artifact below is written from the
+            # captured eval log either way).
+            save_iterations=tuple(
+                sorted({i for i in (5000, 10_000) if i < args.iterations}
+                       | {args.iterations})
+            ),
             checkpoint_iterations=(),
         )
+    except Exception as e:  # noqa: BLE001 — still write the partial artifact
+        crashed = f"{type(e).__name__}: {e}"[:300]
     finally:
         sys.stdout = real_stdout
     wall = time.perf_counter() - t0
@@ -117,7 +126,8 @@ def main() -> None:
     )
     os.makedirs(render_dir, exist_ok=True)
     final_views = []
-    for b, bank in enumerate(scene.get_test_banks()):
+    banks = [] if crashed else scene.get_test_banks()
+    for b, bank in enumerate(banks):
         for i in range(bank.count):
             cam, gt = bank.pick(jnp.int32(i))
             img = jnp.clip(trainer.render_view(cam), 0.0, 1.0)
@@ -153,6 +163,7 @@ def main() -> None:
     test_curve = [e for e in evals if e["split"] == "test"]
 
     result = {
+        "crashed": crashed,
         "dataset": "ray-traced spheres+checkerboard (tools/synthetic_scene.py)",
         "resolution": 400,
         "iterations": args.iterations,
