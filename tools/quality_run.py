@@ -146,6 +146,12 @@ def main() -> None:
                     np.round(pair.transpose(1, 2, 0) * 255).astype(np.uint8)
                 ).save(os.path.join(render_dir, f"test_{b}_{i}.png"))
 
+    def _maybe(f):
+        try:
+            return f()
+        except Exception:  # noqa: BLE001 — artifact must be written regardless
+            return None
+
     log = captured.getvalue()
     evals = [
         {"iteration": int(m.group(1)), "split": m.group(2),
@@ -169,8 +175,9 @@ def main() -> None:
         "iterations": args.iterations,
         "backend": jax.default_backend(),
         "wall_clock_s": round(wall, 1),
-        "final_points": int(trainer.n_alive()),
-        "capacity": int(trainer.state.params.capacity),
+        # n_alive reads device arrays — unreadable if the backend died.
+        "final_points": _maybe(lambda: int(trainer.n_alive())),
+        "capacity": _maybe(lambda: int(trainer.state.params.capacity)),
         "final_raster_budgets": {
             "max_instances": trainer.raster_cfg.max_instances,
             "max_rows": trainer.raster_cfg.max_rows,
