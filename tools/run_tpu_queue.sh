@@ -31,6 +31,10 @@ QTIMEOUT=1800 run bench       bench.py
 QTIMEOUT=2400 run mesh        tools/bench_mesh_overhead.py
 QTIMEOUT=2400 run fps         tools/bench_fps.py
 QTIMEOUT=2400 run trained     tools/bench_trained.py --model /tmp/gsjax_quality_model
+# Strips/tile-shape choices must be re-evaluated on the TRAINED scene
+# (r2: strips=2 was a wash on the random scene; opaque foregrounds differ).
+QTIMEOUT=2400 run trained_s2  tools/bench_trained.py --model /tmp/gsjax_quality_model --strips 2
+QTIMEOUT=2400 run trained_64  tools/bench_trained.py --model /tmp/gsjax_quality_model --tile 64x32
 echo "[queue] phase 1 complete $(date -u +%H:%M:%S)"
 
 # Phase 2: the long train-to-quality demonstration (96-view v2 scene).
