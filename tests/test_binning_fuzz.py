@@ -124,8 +124,11 @@ def test_qmin_over_rect_matches_grid(seed):
     assert not np.any(intersects(np.where(pos, qmin * 0.998, -1.0))[pos])
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
-def test_anisotropic_scene_matches_oracle(seed):
+@pytest.mark.parametrize(
+    "seed,tw,th",
+    [(11, 16, 16), (12, 16, 16), (13, 16, 16), (11, 32, 32), (12, 64, 32)],
+)
+def test_anisotropic_scene_matches_oracle(seed, tw, th):
     """Whole-renderer fuzz: elongated thin splats at random orientations —
     the regime where the tight rect + row intervals do real work — must
     still match the oracle bit-for-bit-ish."""
@@ -141,7 +144,10 @@ def test_anisotropic_scene_matches_oracle(seed):
     stretch = jax.random.uniform(key, params.scaling.shape, minval=0.0, maxval=3.4)
     params = params.replace(scaling=params.scaling + stretch)
     cam = orbit_camera(0.9 * seed, width=64, height=48)
-    cfg = RasterConfig(max_instances=1 << 14, max_rows=1 << 14, interpret=True)
+    cfg = RasterConfig(
+        tile_w=tw, tile_h=th, max_instances=1 << 14, max_rows=1 << 14,
+        interpret=True,
+    )
     bg = jnp.asarray([0.3, 0.2, 0.1])
 
     img = render(
