@@ -17,6 +17,7 @@ eval_sh therefore contracts over axis -2.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as _np
 
 C0 = 0.28209479177387814
 C1 = 0.4886025119029199
@@ -106,12 +107,18 @@ def sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(basis, axis=-1)
 
 
-def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+def eval_sh(deg, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH-encoded color toward unit directions.
 
     Args:
-      deg: static active degree (the reference ramps this 0->max during
-        training, reference: train.py:72-73).
+      deg: active degree (the reference ramps this 0->max during training,
+        reference: train.py:72-73). A static int contracts only the active
+        bands; a TRACED scalar evaluates the full basis the coefficient
+        array carries and masks bands > deg — the exact same linear map
+        (inactive coefficients contribute exact zeros, and receive zero
+        gradient, like the reference's degree-truncated CUDA eval). Traced
+        degree keeps the SH ramp from recompiling the train step per
+        degree (remote compiles cost minutes on a tunneled TPU).
       sh: [..., K, C] coefficients with K >= (deg+1)**2.
       dirs: [..., 3] unit directions.
 
@@ -120,13 +127,27 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
       preprocess applies `max(result + 0.5, 0)` as the reference does,
       reference: gaussian_renderer/__init__.py:78).
     """
-    k = num_sh_coeffs(deg)
-    if sh.shape[-2] < k:
-        raise ValueError(f"need >= {k} SH coeffs for degree {deg}, got {sh.shape[-2]}")
-    basis = sh_basis(deg, dirs)  # [..., k]
-    # precision=highest: TPU contractions otherwise truncate f32 -> bf16.
+    if isinstance(deg, (int, _np.integer)):
+        k = num_sh_coeffs(deg)
+        if sh.shape[-2] < k:
+            raise ValueError(
+                f"need >= {k} SH coeffs for degree {deg}, got {sh.shape[-2]}"
+            )
+        basis = sh_basis(deg, dirs)  # [..., k]
+        # precision=highest: TPU contractions otherwise truncate f32 -> bf16.
+        return jnp.einsum(
+            "...k,...kc->...c", basis, sh[..., :k, :], precision="highest"
+        )
+
+    k = sh.shape[-2]
+    max_deg = int(_np.sqrt(k)) - 1
+    if num_sh_coeffs(max_deg) != k:
+        raise ValueError(f"coefficient count {k} is not a complete SH pyramid")
+    basis = sh_basis(max_deg, dirs)  # [..., k]
+    band = jnp.asarray(_np.floor(_np.sqrt(_np.arange(k))).astype(_np.int32))
+    basis = jnp.where(band <= deg, basis, 0.0)
     return jnp.einsum(
-        "...k,...kc->...c", basis, sh[..., :k, :], precision="highest"
+        "...k,...kc->...c", basis, sh, precision="highest"
     )
 
 

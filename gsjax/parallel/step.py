@@ -59,6 +59,12 @@ def make_sharded_train_step(
     Returns step(state, views, projs, centers, tanx, tany, gt, bg) ->
     (state, metrics), where the leading batch axis B of views/projs/.../gt
     must equal mesh.shape["data"] and bg is [3] (replicated).
+
+    active_sh_degree is baked static here (one compile per ramp degree, 4
+    total per training run). The single-device step instead traces the
+    degree through eval_sh's band masking (gsjax/core/sh.py) and compiles
+    once; thread it through as a P() scalar operand here too if mesh-path
+    ramp compiles ever matter.
     """
     n_tile = mesh.shape["tile"]
     n_data = mesh.shape["data"]

@@ -71,7 +71,7 @@ def _step_core(
     bank,
     cam_idx: jnp.ndarray,
     bg: jnp.ndarray,
-    active_sh_degree: int,
+    active_sh_degree: int | jnp.ndarray,
     opt_cfg: OptimizationConfig,
     raster_cfg: RasterConfig,
     spatial_lr_scale: float,
@@ -108,7 +108,11 @@ def _step_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("active_sh_degree", "opt_cfg", "raster_cfg", "spatial_lr_scale"),
+    # active_sh_degree is a TRACED scalar (weak-typed int), not static:
+    # the SH ramp (0->3) would otherwise compile the step once per
+    # degree — minutes per compile on a tunneled TPU. eval_sh masks
+    # inactive bands, the exact same linear map as degree truncation.
+    static_argnames=("opt_cfg", "raster_cfg", "spatial_lr_scale"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -117,7 +121,7 @@ def train_step(
     cam_idx: jnp.ndarray,
     bg: jnp.ndarray,
     *,
-    active_sh_degree: int,
+    active_sh_degree: int | jnp.ndarray,
     opt_cfg: OptimizationConfig,
     raster_cfg: RasterConfig,
     spatial_lr_scale: float,
@@ -138,7 +142,11 @@ def train_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("active_sh_degree", "opt_cfg", "raster_cfg", "spatial_lr_scale"),
+    # active_sh_degree is a TRACED scalar (weak-typed int), not static:
+    # the SH ramp (0->3) would otherwise compile the step once per
+    # degree — minutes per compile on a tunneled TPU. eval_sh masks
+    # inactive bands, the exact same linear map as degree truncation.
+    static_argnames=("opt_cfg", "raster_cfg", "spatial_lr_scale"),
     donate_argnames=("state",),
 )
 def train_steps(
@@ -147,7 +155,7 @@ def train_steps(
     cam_indices: jnp.ndarray,
     bgs: jnp.ndarray,
     *,
-    active_sh_degree: int,
+    active_sh_degree: int | jnp.ndarray,
     opt_cfg: OptimizationConfig,
     raster_cfg: RasterConfig,
     spatial_lr_scale: float,
