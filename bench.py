@@ -114,6 +114,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from gsjax.utils.general import enable_compile_cache
+
+    enable_compile_cache()  # minutes-per-compile over the TPU tunnel
+
     from gsjax.config import RasterConfig
     from gsjax.render.api import render
     from gsjax.synthetic import look_at_origin_camera, random_scene

@@ -47,6 +47,20 @@ from gsjax.train.optimizer import AdamState, adam_init
 from gsjax.train.step import TrainState, train_steps
 
 
+def _pow2_chunks(n: int) -> list[int]:
+    """Binary decomposition of a window length, largest chunk first
+    (100 -> [64, 32, 4]). Scan graphs compile per distinct length; this
+    bounds the set of lengths ever compiled to the powers of two."""
+    out = []
+    bit = 1 << max(n.bit_length() - 1, 0)
+    while n:
+        if n >= bit:
+            out.append(bit)
+            n -= bit
+        bit >>= 1
+    return out
+
+
 def grow_capacity(state: TrainState, new_cap: int) -> TrainState:
     """Re-pad every per-Gaussian buffer to new_cap (recompile trigger)."""
     old = state.params.capacity
@@ -348,17 +362,32 @@ class Trainer:
                     bgs = jnp.broadcast_to(self.background, (w, 3))
 
                 t0 = time.perf_counter()
-                self.state, metrics = train_steps(
-                    self.state,
-                    bank,
-                    jnp.asarray(cams, jnp.int32),
-                    bgs,
-                    active_sh_degree=self.active_sh_degree,
-                    opt_cfg=opt,
-                    raster_cfg=self.raster_cfg,
-                    spatial_lr_scale=self.spatial_lr_scale,
+                # Dispatch the window as power-of-two scan chunks: the
+                # scanned step compiles once per DISTINCT scan length, and
+                # schedule boundaries (densify %100, SH %1000, test iters)
+                # produce many one-off lengths — each a minutes-long remote
+                # compile on a tunneled TPU. Binary decomposition bounds the
+                # compiled-length set to <= log2(max_window)+1 sizes, all
+                # persistent-cache-reusable across runs.
+                parts = []
+                off = 0
+                for c in _pow2_chunks(w):
+                    self.state, m = train_steps(
+                        self.state,
+                        bank,
+                        jnp.asarray(cams[off:off + c], jnp.int32),
+                        bgs[off:off + c],
+                        active_sh_degree=self.active_sh_degree,
+                        opt_cfg=opt,
+                        raster_cfg=self.raster_cfg,
+                        spatial_lr_scale=self.spatial_lr_scale,
+                    )
+                    parts.append(jax.tree.map(np.asarray, m))
+                    off += c
+                metrics = jax.tree.map(
+                    lambda *xs: np.concatenate(xs), *parts
                 )
-                losses = np.asarray(metrics.loss)
+                losses = metrics.loss
                 dt = time.perf_counter() - t0
             else:
                 # Mesh path: scanned window of optimizer updates, each over
@@ -369,6 +398,10 @@ class Trainer:
                 # single-device scanned path above.
                 b = self.mesh.shape["data"]
                 w = min(max_window, end - iteration)
+                # Largest pow2 <= w: one compiled scan length per power of
+                # two (see _pow2_chunks; here rounding down is enough since
+                # the outer loop just runs more windows).
+                w = 1 << (w.bit_length() - 1)
                 bank_idx, cams = self._next_window(w * b)
                 if len(cams) < w * b:  # cycle-pad a short epoch tail
                     cams = (cams * (-(-(w * b) // len(cams))))[: w * b]

@@ -37,3 +37,20 @@ def safe_state(silent: bool = False, seed: int = 0) -> None:
     sys.stdout = _TimestampedStdout(sys.stdout, silent)
     random.seed(seed)
     np.random.seed(seed)
+
+
+def enable_compile_cache(
+    path: str = "/root/repo/.jax_compile_cache",
+    min_compile_secs: float = 5.0,
+) -> None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    Remote compiles over the tunneled-TPU link cost minutes each; the
+    persistent cache makes every rerun of a bench/tool hit the disk cache
+    instead. Call BEFORE the first compilation (backend init is fine).
+    No reference analog — torch/CUDA kernels are precompiled; XLA's are
+    per-program."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)

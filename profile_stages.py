@@ -11,6 +11,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+from gsjax.utils.general import enable_compile_cache
+
+enable_compile_cache()  # minutes-per-compile over the TPU tunnel
 import numpy as np
 
 from gsjax.config import RasterConfig

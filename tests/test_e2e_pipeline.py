@@ -284,3 +284,47 @@ def test_trainer_full_schedule_interplay(blender_dataset, tmp_path):
     assert np.isfinite(
         float(np.asarray(trainer.state.params.xyz).sum())
     )
+
+
+def test_trainer_pow2_chunked_windows_match_single_scan(blender_dataset, tmp_path):
+    """The trainer dispatches each scan window as power-of-two chunks (13 ->
+    [8, 4, 1]) so the compiled-scan-length set stays bounded; chunking is
+    pure dispatch plumbing, so the final state must match a single
+    whole-window scan exactly."""
+    import jax
+    import numpy as np
+
+    from gsjax.config import ModelConfig, OptimizationConfig
+    from gsjax.scene import Scene
+    from gsjax.train import trainer as trainer_mod
+    from gsjax.train.trainer import Trainer
+
+    def run(chunker, path):
+        import random
+
+        random.seed(0)  # camera-stack shuffle uses the global random module
+        orig = trainer_mod._pow2_chunks
+        trainer_mod._pow2_chunks = chunker
+        try:
+            model_cfg = ModelConfig(
+                source_path=blender_dataset, model_path=path, eval=False
+            )
+            opt_cfg = OptimizationConfig(
+                iterations=13, densify_from_iter=100,
+                densify_until_iter=0, opacity_reset_interval=10_000,
+            )
+            scene = Scene(model_cfg)
+            t = Trainer(scene, model_cfg, opt_cfg, quiet=True)
+            t.train(
+                test_iterations=(), save_iterations=(),
+                checkpoint_iterations=(),
+            )
+            return jax.tree.map(np.asarray, t.state.params)
+        finally:
+            trainer_mod._pow2_chunks = orig
+
+    chunked = run(trainer_mod._pow2_chunks, str(tmp_path / "mc"))
+    single = run(lambda n: [n], str(tmp_path / "ms"))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b), chunked, single
+    )

@@ -342,3 +342,19 @@ class TestBudgetAdaptation:
         for i in range(60):
             h2.adapt(i, peak_inst=1 << 19, peak_rows=1 << 19)  # 50% used
         assert h2.raster_cfg.max_instances == 1 << 20  # untouched
+
+
+class TestPow2Chunks:
+    """The trainer dispatches scan windows as power-of-two chunks so the
+    compiled-scan-length set is bounded by log2(max_window)+1 (each remote
+    TPU compile costs minutes over the tunnel)."""
+
+    def test_binary_decomposition(self):
+        from gsjax.train.trainer import _pow2_chunks
+
+        for n in range(1, 1025):
+            chunks = _pow2_chunks(n)
+            assert sum(chunks) == n
+            assert all(c & (c - 1) == 0 for c in chunks)  # powers of two
+            assert chunks == sorted(chunks, reverse=True)
+            assert len(chunks) == bin(n).count("1")

@@ -15,6 +15,10 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
+
+from gsjax.utils.general import enable_compile_cache
+
+enable_compile_cache()  # minutes-per-compile over the TPU tunnel
 import numpy as np
 
 from gsjax.config import RasterConfig

@@ -70,6 +70,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from gsjax.utils.general import enable_compile_cache
+
+    enable_compile_cache()  # minutes-per-compile over the TPU tunnel
+
     from gsjax.config import RasterConfig, pow2_budget
     from gsjax.model import GaussianAux, pad_gaussian_params
     from gsjax.data.ply import load_gaussian_ply

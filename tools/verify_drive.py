@@ -16,6 +16,10 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+from gsjax.utils.general import enable_compile_cache
+
+enable_compile_cache()  # minutes-per-compile over the TPU tunnel
+
 from gsjax.config import RasterConfig
 from gsjax.render.api import render, render_oracle
 from tests.scene_utils import look_at_origin_camera, random_scene
