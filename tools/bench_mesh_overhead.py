@@ -4,6 +4,15 @@ Runs the same scene/camera through (a) the single-device train_step and
 (b) make_sharded_train_step on a (data=1, tile=1) mesh over the one real
 chip — the difference is the cost of the shard_map plumbing, slab
 padding, and collective stubs when no actual parallelism exists.
+
+Measurement discipline: the tunneled TPU serves the first executions of a
+freshly-uploaded (large) executable at seconds-per-step while the program
+warms server-side, then settles to steady state — the r2 "24x sharded
+overhead" was entirely this artifact (tools/mesh_overhead_bisect_tpu.py:
+the SAME executable + inputs time 16.5 s/step as the process's first
+measured case and 122 ms as its second). Each phase here therefore warms
+up with per-call fences UNTIL the per-call time stabilizes, and only then
+takes the timed average.
 """
 
 from __future__ import annotations
@@ -36,6 +45,25 @@ ITERS = 15
 
 def fence(x):
     _ = np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
+
+
+def warm_until_stable(run_once, state, max_calls=40):
+    """Execute run_once(state)->state with a fence per call until 3
+    consecutive calls land within 1.5x of the fastest seen (server-side
+    program warming on the tunneled chip takes a variable number of
+    executions), then return the warmed state."""
+    best = float("inf")
+    streak = 0
+    for i in range(max_calls):
+        t0 = time.perf_counter()
+        state = run_once(state)
+        fence(state.params.xyz)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        streak = streak + 1 if dt < 1.5 * best else 0
+        if streak >= 3 and i >= 4:
+            return state
+    return state
 
 
 def main() -> None:
@@ -72,12 +100,14 @@ def main() -> None:
         )
 
     # Plain single-device step.
-    state = fresh()
-    state, _ = train_step(
-        state, bank, jnp.int32(0), bg, active_sh_degree=3,
-        opt_cfg=opt_cfg, raster_cfg=cfg, spatial_lr_scale=1.0,
-    )
-    fence(state.params.xyz)
+    def run_plain(state):
+        state, _ = train_step(
+            state, bank, jnp.int32(0), bg, active_sh_degree=3,
+            opt_cfg=opt_cfg, raster_cfg=cfg, spatial_lr_scale=1.0,
+        )
+        return state
+
+    state = warm_until_stable(run_plain, fresh())
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, _ = train_step(
@@ -98,9 +128,11 @@ def main() -> None:
         camera.view[None], camera.full_proj[None], camera.cam_center[None],
         camera.tan_fovx[None], camera.tan_fovy[None], gt[None], bg,
     )
-    state = fresh()
-    state, _ = step(state, *args)
-    fence(state.params.xyz)
+    def run_sharded(state):
+        state, _ = step(state, *args)
+        return state
+
+    state = warm_until_stable(run_sharded, fresh())
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, _ = step(state, *args)
