@@ -52,6 +52,14 @@ class Binning:
     perm: [N] depth order -> original gaussian index.
     sorted_owner: [P] DEPTH-ORDER gaussian index per sorted instance slot;
       N (one past the last row) marks dead/overflow slots.
+    sorted_slot: [P] pre-sort (expansion-order) instance index per
+      tile-order slot — the tile sort's permutation, ridden out of the sort
+      for free. The backward inverts it (one 2-array sort, done THERE so
+      forward-only rendering never pays for it) and regroups its
+      tile-ordered gradient stream to owner-major order with ONE row-rate
+      gather (the expansion order IS owner-major, and gm_start boundaries
+      are its offsets) instead of re-sorting the stream with nine f32
+      rider rows.
     tile_start: [T+1] instance offsets per tile into the sorted stream
       (tile t owns slots [tile_start[t], tile_start[t+1])).
     gm_start: [N+1] per-owner instance counts as run boundaries: owner o
@@ -70,6 +78,7 @@ class Binning:
 
     perm: jnp.ndarray
     sorted_owner: jnp.ndarray
+    sorted_slot: jnp.ndarray
     tile_start: jnp.ndarray
     gm_start: jnp.ndarray
     num_instances: jnp.ndarray
@@ -361,8 +370,12 @@ def bin_gaussians(
     g = it[:, 2]
     tile = jnp.where(ivalid, tile, n_tiles)  # sentinel sorts last
 
-    # --- group by tile: stable 1-key sort (depth order rides via owner) -----
-    sorted_tile, sorted_owner = lax.sort((tile, g), num_keys=1, is_stable=True)
+    # --- group by tile: stable 1-key sort (depth order rides via owner; the
+    # pre-sort slot index rides too — the backward inverts it to regroup
+    # its gradient stream without a nine-f32-rider re-sort).
+    sorted_tile, sorted_owner, sorted_slot = lax.sort(
+        (tile, g, p), num_keys=1, is_stable=True
+    )
     sorted_owner = jnp.where(sorted_tile < n_tiles, sorted_owner, n)
 
     tile_start = jnp.searchsorted(
@@ -382,6 +395,7 @@ def bin_gaussians(
     return Binning(
         perm=perm,
         sorted_owner=sorted_owner,
+        sorted_slot=sorted_slot,
         tile_start=tile_start,
         gm_start=gm_start,
         num_instances=total,

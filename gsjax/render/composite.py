@@ -138,15 +138,22 @@ def _composite_bwd(static, residuals, cotangents):
         interpret=static.interpret,
     )
 
-    # Group the grad stream by owner (stable rider sort), then segment-sum
-    # each owner's contiguous run [gm_start[o], gm_start[o+1]).
-    rows = tuple(inst_grads[i] for i in range(common.N_FIELDS))
-    gm = lax.sort(
-        (binning.sorted_owner, *rows), num_keys=1, is_stable=True
+    # Group the grad stream by owner: the EXPANSION order is owner-major
+    # (gm_start boundaries are its cumulative-offset arithmetic), so invert
+    # the tile sort's ridden permutation (one 2-array int sort — here, not
+    # in binning, so forward-only rendering never pays it) and regroup with
+    # one contiguous-row gather instead of a stable sort carrying all nine
+    # f32 gradient rows as riders. Then segment-sum each owner's contiguous
+    # run [gm_start[o], gm_start[o+1]).
+    pp = binning.sorted_slot.shape[0]
+    _, slot_of_inst = lax.sort(
+        (binning.sorted_slot, jnp.arange(pp, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
     )
-    # Pad rows to a multiple of 8 (HBM slices are (8,128)-tiled).
-    vals = jnp.stack(gm[1:], axis=0)  # (N_FIELDS, P)
-    vals = jnp.pad(vals, ((0, -common.N_FIELDS % 8), (0, 0)))
+    vals = jnp.take(
+        inst_grads.T, slot_of_inst, axis=0
+    ).T  # (ROWS, P), ROWS already a multiple of 8 (HBM (8,128) tiling)
     n = binning.gm_start.shape[0] - 1
     sums = segment_sum_pallas(
         vals, binning.gm_start, interpret=static.interpret
