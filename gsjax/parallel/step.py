@@ -56,15 +56,18 @@ def make_sharded_train_step(
 ):
     """Build the jitted sharded train step.
 
-    Returns step(state, views, projs, centers, tanx, tany, gt, bg) ->
-    (state, metrics), where the leading batch axis B of views/projs/.../gt
-    must equal mesh.shape["data"] and bg is [3] (replicated).
+    Returns step(state, views, projs, centers, tanx, tany, gt, bg,
+    sh_degree=None) -> (state, metrics), where the leading batch axis B of
+    views/projs/.../gt must equal mesh.shape["data"] and bg is [3]
+    (replicated).
 
-    active_sh_degree is baked static here (one compile per ramp degree, 4
-    total per training run). The single-device step instead traces the
-    degree through eval_sh's band masking (gsjax/core/sh.py) and compiles
-    once; thread it through as a P() scalar operand here too if mesh-path
-    ramp compiles ever matter.
+    SH ramp without recompiles: `sh_degree` is a TRACED replicated scalar
+    operand — eval_sh masks the inactive bands (gsjax/core/sh.py), exactly
+    like the single-device step, so one executable serves the whole ramp
+    (reference: train.py:71-73 bumps the degree every 1000 iterations; a
+    baked degree costs 4 multi-minute tunneled-TPU compiles per run).
+    `active_sh_degree` is only the default used when the operand is omitted
+    (then it constant-folds — the pre-round-4 baked behavior).
     """
     n_tile = mesh.shape["tile"]
     n_data = mesh.shape["data"]
@@ -133,7 +136,9 @@ def make_sharded_train_step(
         obj = ((1.0 - lam) * l1_sum - lam * ssim_sum) / npix
         return obj, (ninst, l1_sum)
 
-    def shard_body(params, alive, views, projs, centers, tanx, tany, gt, bg):
+    def shard_body(
+        params, alive, views, projs, centers, tanx, tany, gt, bg, sh_deg
+    ):
         # Local shapes: views [1,4,4], gt [1,3,H,W] (B sharded over "data").
         camera = Camera(
             view=views[0],
@@ -163,7 +168,7 @@ def make_sharded_train_step(
                 scaling=params.get_scaling(),
                 rotation=params.rotation,
                 camera=camera,
-                active_sh_degree=active_sh_degree,
+                active_sh_degree=sh_deg,
                 mean2d_offset=offset,
                 alive=alive,
             )
@@ -222,15 +227,19 @@ def make_sharded_train_step(
             P("data"),  # tan_fovy
             P("data"),  # gt
             P(),  # bg
+            P(),  # sh_degree (replicated traced scalar)
         ),
         out_specs=(P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
-    def one_step(state, views, projs, centers, tanx, tany, gt, bg):
+    def one_step(state, views, projs, centers, tanx, tany, gt, bg,
+                 sh_degree=None):
+        if sh_degree is None:
+            sh_degree = active_sh_degree
         g_params, accum_d, denom_d, radii_max, loss, l1, ninst = sharded(
             state.params, state.aux.alive, views, projs, centers, tanx, tany,
-            gt, bg,
+            gt, bg, jnp.asarray(sh_degree, jnp.int32),
         )
         aux = GaussianAux(
             alive=state.aux.alive,
@@ -259,13 +268,28 @@ def make_sharded_train_step(
         tany: jnp.ndarray,
         gt: jnp.ndarray,
         bg: jnp.ndarray,
+        sh_degree=None,
     ) -> tuple[TrainState, StepMetrics]:
-        return one_step(state, views, projs, centers, tanx, tany, gt, bg)
+        return one_step(
+            state, views, projs, centers, tanx, tany, gt, bg, sh_degree
+        )
 
     step.one_step = one_step
+
     # Raw sharded grads+stats (pre-Adam), exposed so tests can pin the
     # psum'd gradient against the single-device backward at tight tolerance.
-    step.sharded_grads = sharded
+    def sharded_grads(
+        params, alive, views, projs, centers, tanx, tany, gt, bg,
+        sh_degree=None,
+    ):
+        if sh_degree is None:
+            sh_degree = active_sh_degree
+        return sharded(
+            params, alive, views, projs, centers, tanx, tany, gt, bg,
+            jnp.asarray(sh_degree, jnp.int32),
+        )
+
+    step.sharded_grads = sharded_grads
     return step
 
 
@@ -300,9 +324,10 @@ def make_sharded_train_steps(
     one_step = single.one_step
 
     @functools.partial(jax.jit, donate_argnames=("state",))
-    def steps(state, views, projs, centers, tanx, tany, gt, bgs):
+    def steps(state, views, projs, centers, tanx, tany, gt, bgs,
+              sh_degree=None):
         def body(s, xs):
-            return one_step(s, *xs)
+            return one_step(s, *xs, sh_degree=sh_degree)
 
         return lax.scan(
             body, state, (views, projs, centers, tanx, tany, gt, bgs)

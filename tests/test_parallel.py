@@ -121,6 +121,46 @@ def test_sharded_grads_match_single(scene, data, tile):
         )
 
 
+def test_sharded_step_traced_sh_degree_matches_single(scene):
+    """The mesh step's TRACED sh_degree operand controls the SH evaluation:
+    a factory built with a different baked default, called with the traced
+    degree, must reproduce the single-device gradient (the whole SH ramp
+    rides one executable — reference train.py:71-73 bumps the degree every
+    1000 iterations)."""
+    from gsjax.train.step import _loss_and_render
+
+    params, aux, camera = scene
+    opt_cfg = OptimizationConfig()
+    gt = jnp.tile(
+        jnp.linspace(0, 1, H * W, dtype=jnp.float32).reshape(1, H, W),
+        (3, 1, 1),
+    )
+    bg = jnp.asarray([0.2, 0.1, 0.4], jnp.float32)
+    offset = jnp.zeros((params.capacity, 2), jnp.float32)
+    (loss1, _), (g1, _) = jax.value_and_grad(
+        _loss_and_render, argnums=(0, 1), has_aux=True
+    )(params, offset, camera, gt, bg, aux.alive, SH_DEG,
+      opt_cfg.lambda_dssim, CFG)
+
+    mesh = make_mesh(jax.devices()[:4], data=2, tile=2)
+    step = make_sharded_train_step(
+        mesh, height=H, width=W, active_sh_degree=0,  # WRONG baked default
+        opt_cfg=opt_cfg, raster_cfg=CFG, spatial_lr_scale=1.0,
+    )
+    g2, _, _, _, loss2, _, _ = jax.jit(step.sharded_grads)(
+        params, aux.alive, *_bank_args(camera, gt, 2), bg,
+        jnp.asarray(SH_DEG, jnp.int32),
+    )
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    alive = np.asarray(aux.alive)
+    for name in ("xyz", "features_dc", "features_rest"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g2, name))[alive],
+            np.asarray(getattr(g1, name))[alive],
+            atol=2e-6, rtol=2e-4, err_msg=f"gradient mismatch in {name}",
+        )
+
+
 def test_sharded_grads_match_single_with_slab_overrun(scene):
     """Gradient parity when the padded slab grid overruns the image: at
     H=48 with 4 tile devices and 16px tile rows, device 3's slab is fully
