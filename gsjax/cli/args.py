@@ -119,4 +119,9 @@ def make_train_parser() -> ArgumentParser:
         "--profile_dir", type=str, default=None,
         help="capture a jax.profiler trace of steps 100-110 to this dir",
     )
+    parser.add_argument(
+        "--orbax", action="store_true", default=False,
+        help="write training checkpoints with Orbax (sharded/multi-host "
+        "capable) instead of single-host .npz",
+    )
     return parser

@@ -60,6 +60,13 @@ def main(argv=None) -> None:
 
         jax.config.update("jax_debug_nans", True)
 
+    # --debug is the reference rasterizer's dump-inputs-on-kernel-failure
+    # flag (reference: README.md:143-146, arguments/__init__.py:68); the
+    # gsjax analog arms the NaN trap from iteration 0 (the trainer already
+    # snapshots the full TrainState on a non-finite loss for offline
+    # replay). --debug_from delays the same trap (reference train.py:81-82).
+    debug_from = 0 if pipe_cfg.debug else args.debug_from
+
     model_cfg, tb_writer = prepare_output_and_logger(model_cfg)
 
     gui = None
@@ -97,12 +104,13 @@ def main(argv=None) -> None:
         quiet=args.quiet,
         profile_dir=args.profile_dir,
         mesh=mesh,
+        use_orbax=args.orbax,
     )
     trainer.train(
         test_iterations=set(args.test_iterations),
         save_iterations=set(save_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
-        debug_from=args.debug_from,
+        debug_from=debug_from,
     )
     print("\nTraining complete.")
 

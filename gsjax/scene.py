@@ -150,8 +150,16 @@ class Scene:
                 json.dump(cam_json, f)
 
         if shuffle:
-            random.shuffle(info.train_cameras)
-            random.shuffle(info.test_cameras)
+            # Reference shuffles with the process-global RNG
+            # (scene/__init__.py:77-79 after safe_state's seed) — which
+            # makes the camera ORDER depend on how many Scenes a process
+            # built before this one. A per-Scene fixed seed reproduces the
+            # reference's fresh-process order every time, which checkpoint
+            # resume requires: the trainer's saved epoch stacks index into
+            # THIS ordering, so a restored run must rebuild it exactly.
+            srng = random.Random(0)
+            srng.shuffle(info.train_cameras)
+            srng.shuffle(info.test_cameras)
 
         self.cameras_extent: float = info.nerf_normalization["radius"]
         self.info = info

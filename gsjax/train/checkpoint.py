@@ -23,8 +23,17 @@ _PARAM_FIELDS = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "
 
 
 def save_checkpoint(
-    path: str, state: TrainState, active_sh_degree: int, spatial_lr_scale: float
+    path: str,
+    state: TrainState,
+    active_sh_degree: int,
+    spatial_lr_scale: float,
+    extra: dict | None = None,
 ) -> None:
+    """`extra` is a flat dict of numpy arrays persisted under "extra.<k>" —
+    the Trainer stores its host-side RNG/stack snapshot there so a restored
+    run reproduces an uninterrupted one bit-for-bit (exact resume parity
+    needs the densify split key, the background RNG, and the mid-epoch
+    camera stack, none of which live in the device TrainState)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays = {"step": np.asarray(state.step)}
     for f in _PARAM_FIELDS:
@@ -38,15 +47,22 @@ def save_checkpoint(
     arrays["aux.denom"] = np.asarray(state.aux.denom)
     arrays["meta.active_sh_degree"] = np.asarray(active_sh_degree)
     arrays["meta.spatial_lr_scale"] = np.asarray(spatial_lr_scale)
+    for k, v in (extra or {}).items():
+        arrays[f"extra.{k}"] = np.asarray(v)
     np.savez(path, **arrays)
 
 
 def save_checkpoint_orbax(
-    path: str, state: TrainState, active_sh_degree: int, spatial_lr_scale: float
+    path: str,
+    state: TrainState,
+    active_sh_degree: int,
+    spatial_lr_scale: float,
+    extra: dict | None = None,
 ) -> None:
     """Orbax variant for sharded/multi-host checkpoints (SURVEY.md §5.4):
     each host writes only its addressable shards; restore re-shards to the
-    current mesh. The .npz path above stays the single-host default."""
+    current mesh. The .npz path above stays the single-host default; the
+    Trainer selects this one with use_orbax=True (--orbax CLI flag)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -56,12 +72,13 @@ def save_checkpoint_orbax(
             "active_sh_degree": np.int32(active_sh_degree),
             "spatial_lr_scale": np.float32(spatial_lr_scale),
         },
+        "extra": {k: np.asarray(v) for k, v in (extra or {}).items()},
     }
     ckptr.save(os.path.abspath(path), payload, force=True)
     ckptr.wait_until_finished()
 
 
-def load_checkpoint_orbax(path: str) -> tuple[TrainState, int, float]:
+def load_checkpoint_orbax(path: str) -> tuple[TrainState, int, float, dict]:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -82,11 +99,27 @@ def load_checkpoint_orbax(path: str) -> tuple[TrainState, int, float]:
         step=jnp.asarray(s["step"]),
     )
     meta = payload["meta"]
-    return state, int(meta["active_sh_degree"]), float(meta["spatial_lr_scale"])
+    return (
+        state,
+        int(meta["active_sh_degree"]),
+        float(meta["spatial_lr_scale"]),
+        dict(payload.get("extra") or {}),
+    )
 
 
-def load_checkpoint(path: str) -> tuple[TrainState, int, float]:
-    """Returns (state, active_sh_degree, spatial_lr_scale)."""
+def load_checkpoint(
+    path: str,
+) -> tuple[TrainState, int, float] | tuple[TrainState, int, float, dict]:
+    """Returns (state, active_sh_degree, spatial_lr_scale). Use
+    load_checkpoint_extra for the host RNG/stack snapshot as well."""
+    state, sh, lr, _ = load_checkpoint_extra(path)
+    return state, sh, lr
+
+
+def load_checkpoint_extra(path: str) -> tuple[TrainState, int, float, dict]:
+    """Returns (state, active_sh_degree, spatial_lr_scale, extra) where
+    extra holds whatever dict was passed to save_checkpoint (empty for
+    checkpoints written before round 4)."""
     z = np.load(path)
 
     def tree(prefix):
@@ -107,4 +140,12 @@ def load_checkpoint(path: str) -> tuple[TrainState, int, float]:
         ),
         step=jnp.asarray(z["step"]),
     )
-    return state, int(z["meta.active_sh_degree"]), float(z["meta.spatial_lr_scale"])
+    extra = {
+        k[len("extra."):]: z[k] for k in z.files if k.startswith("extra.")
+    }
+    return (
+        state,
+        int(z["meta.active_sh_degree"]),
+        float(z["meta.spatial_lr_scale"]),
+        extra,
+    )

@@ -126,8 +126,14 @@ class Trainer:
         profile_dir: str | None = None,
         mesh=None,
         adapt_budgets: bool = True,
+        use_orbax: bool = False,
     ):
         self.scene = scene
+        # use_orbax=True writes/reads training checkpoints with Orbax
+        # (sharded/multi-host-capable; SURVEY.md §5.4) instead of the
+        # single-host .npz default. Restore auto-detects the format (Orbax
+        # checkpoints are directories).
+        self.use_orbax = use_orbax
         # adapt_budgets=False pins raster budgets to the given raster_cfg
         # (no grow-on-overflow and no shrink-after-quiet recompiles) — for
         # environments where each recompile is expensive; overflow is then
@@ -157,8 +163,20 @@ class Trainer:
         self.spatial_lr_scale = float(scene.cameras_extent)
         self.first_iter = 0
 
+        restored_extra: dict = {}
         if start_checkpoint:
-            state, sh_deg, lr_scale = load_checkpoint(start_checkpoint)
+            if os.path.isdir(start_checkpoint):
+                from gsjax.train.checkpoint import load_checkpoint_orbax
+
+                state, sh_deg, lr_scale, restored_extra = (
+                    load_checkpoint_orbax(start_checkpoint)
+                )
+            else:
+                from gsjax.train.checkpoint import load_checkpoint_extra
+
+                state, sh_deg, lr_scale, restored_extra = (
+                    load_checkpoint_extra(start_checkpoint)
+                )
             self.state = state
             self.active_sh_degree = sh_deg
             self.spatial_lr_scale = lr_scale
@@ -175,12 +193,20 @@ class Trainer:
         bgv = [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0]
         self.background = jnp.asarray(bgv, jnp.float32)
         self.banks = scene.get_train_banks()
-        self._viewpoint_stack: list[tuple[int, int]] = []
+        # Per-bank shuffled view stacks (popped from the END). A private
+        # Random instance (not the global module) so its state can be
+        # captured into checkpoints for exact resume parity.
+        self._bank_stacks: list[list[int]] = [[] for _ in self.banks]
+        self._shuffler = random.Random(0)
         self._render_cache: dict = {}
         self._rng = np.random.default_rng(0)
         self._budget_quiet_windows = 0
         self._budget_quiet_peaks = (0, 0)
+        self._last_peaks = (0, 0)
+        self._last_alive = 0
         self._key = jax.random.PRNGKey(0)
+        if restored_extra:
+            self._restore_host_state(restored_extra)
 
     # ---------------------------------------------------------------- utils
     def n_alive(self) -> int:
@@ -243,10 +269,12 @@ class Trainer:
 
     def _sharded_steps_for(self, bank: CameraBank):
         """Cached mesh-sharded scanned-window train step per (resolution,
-        SH degree, raster config)."""
+        raster config). The SH degree is a traced operand (passed at call
+        time), so one executable serves the whole SH ramp — same as the
+        single-device path."""
         from gsjax.parallel.step import make_sharded_train_steps
 
-        key = (bank.width, bank.height, self.active_sh_degree, self.raster_cfg)
+        key = (bank.width, bank.height, self.raster_cfg)
         if key not in self._sharded_cache:
             self._sharded_cache[key] = make_sharded_train_steps(
                 self.mesh,
@@ -281,31 +309,118 @@ class Trainer:
         return min(c for c in cands if c > it)
 
     def _next_window(self, max_len: int) -> tuple[int, list[int]]:
-        """Pop up to max_len same-bank views from the epoch stack."""
-        if not self._viewpoint_stack:
+        """Pop up to max_len views from ONE bank of the epoch stacks.
+
+        Reference semantics are pop-one-random-view-per-iteration from the
+        whole shuffled epoch (train.py:76-78); scan windows constrain a
+        window to one compiled step, i.e. one bank (resolution). The
+        faithful window-level analog: pick the bank with probability
+        proportional to its remaining views (the chance the reference's
+        next draw lands in that bank), then pop the window from that bank's
+        shuffled stack. With a single bank this IS the reference's
+        shuffled-stack pop; with several, banks interleave randomly at
+        window granularity instead of running one bank to exhaustion
+        (the round-3 deviation)."""
+        if not any(self._bank_stacks):
             self._next_view_refill()
-        bank_idx = self._viewpoint_stack[-1][0]
-        cams = []
-        while (
-            self._viewpoint_stack
-            and len(cams) < max_len
-            and self._viewpoint_stack[-1][0] == bank_idx
-        ):
-            cams.append(self._viewpoint_stack.pop()[1])
+        nonempty = [b for b, s in enumerate(self._bank_stacks) if s]
+        if len(nonempty) == 1:
+            bank_idx = nonempty[0]
+        else:
+            bank_idx = self._shuffler.choices(
+                nonempty,
+                weights=[len(self._bank_stacks[b]) for b in nonempty],
+            )[0]
+        stack = self._bank_stacks[bank_idx]
+        cams = [stack.pop() for _ in range(min(max_len, len(stack)))]
         return bank_idx, cams
 
     def _next_view_refill(self) -> None:
-        stack = [
-            (b, i)
-            for b, bank in enumerate(self.banks)
-            for i in range(bank.count)
+        self._bank_stacks = []
+        for bank in self.banks:
+            idxs = list(range(bank.count))
+            self._shuffler.shuffle(idxs)
+            self._bank_stacks.append(idxs)
+
+    def _host_state_snapshot(self) -> dict:
+        """Host-side training state that exact resume parity needs beyond
+        the device TrainState: the densify split key, the background/bank
+        RNGs, the mid-epoch camera stacks, and the adaptive raster budgets
+        (reference capture/restore: scene/gaussian_model.py:61-93 — which
+        does NOT capture RNG and so cannot resume bit-exactly; gsjax can)."""
+        import pickle
+
+        flat = [
+            (b, i) for b, stack in enumerate(self._bank_stacks) for i in stack
         ]
-        random.shuffle(stack)
-        if len(self.banks) > 1:
-            # Group contiguous runs by bank so scan windows stay on one
-            # compiled step; run order stays random.
-            stack.sort(key=lambda bi: bi[0])
-        self._viewpoint_stack = stack
+        return {
+            "key": np.asarray(self._key),
+            "np_rng": np.frombuffer(
+                pickle.dumps(self._rng.bit_generator.state), np.uint8
+            ),
+            "shuffler": np.frombuffer(
+                pickle.dumps(self._shuffler.getstate()), np.uint8
+            ),
+            "stacks": np.asarray(flat, np.int32).reshape(-1, 2),
+            "budgets": np.asarray(
+                [
+                    self.raster_cfg.max_instances,
+                    self.raster_cfg.max_rows,
+                    self._budget_quiet_windows,
+                    self._budget_quiet_peaks[0],
+                    self._budget_quiet_peaks[1],
+                    self._last_peaks[0],
+                    self._last_peaks[1],
+                    self._last_alive,
+                ],
+                np.int64,
+            ),
+        }
+
+    def _restore_host_state(self, extra: dict) -> None:
+        import dataclasses
+        import pickle
+
+        if "key" in extra:
+            self._key = jnp.asarray(extra["key"])
+        if "np_rng" in extra:
+            self._rng.bit_generator.state = pickle.loads(
+                extra["np_rng"].tobytes()
+            )
+        if "shuffler" in extra:
+            self._shuffler.setstate(pickle.loads(extra["shuffler"].tobytes()))
+        if "stacks" in extra:
+            flat = np.asarray(extra["stacks"]).reshape(-1, 2)
+            self._bank_stacks = [
+                [int(i) for b2, i in flat if b2 == b]
+                for b in range(len(self.banks))
+            ]
+        if "budgets" in extra:
+            bud = np.asarray(extra["budgets"])
+            self.raster_cfg = dataclasses.replace(
+                self.raster_cfg,
+                max_instances=int(bud[0]),
+                max_rows=int(bud[1]),
+            )
+            self._budget_quiet_windows = int(bud[2])
+            self._budget_quiet_peaks = (int(bud[3]), int(bud[4]))
+            if bud.shape[0] >= 8:
+                self._last_peaks = (int(bud[5]), int(bud[6]))
+                self._last_alive = int(bud[7])
+
+    def _save_checkpoint(self, path: str) -> None:
+        saver = save_checkpoint
+        if self.use_orbax:
+            from gsjax.train.checkpoint import save_checkpoint_orbax
+
+            saver = save_checkpoint_orbax
+        saver(
+            path,
+            self.state,
+            self.active_sh_degree,
+            self.spatial_lr_scale,
+            extra=self._host_state_snapshot(),
+        )
 
     def train(
         self,
@@ -431,6 +546,7 @@ class Trainer:
                     wb(bank.tan_fovy[idxs]),
                     wb(gt),
                     bgs,
+                    self.active_sh_degree,
                 )
                 losses = np.asarray(metrics.loss).reshape(-1)
                 dt = time.perf_counter() - t0
@@ -521,13 +637,12 @@ class Trainer:
 
             if iteration in checkpoint_iterations:
                 print(f"\n[ITER {iteration}] Saving Checkpoint")
-                save_checkpoint(
+                self._save_checkpoint(
                     os.path.join(
-                        self.scene.model_path, f"chkpnt{iteration}.npz"
-                    ),
-                    self.state,
-                    self.active_sh_degree,
-                    self.spatial_lr_scale,
+                        self.scene.model_path,
+                        f"chkpnt{iteration}"
+                        + ("" if self.use_orbax else ".npz"),
+                    )
                 )
         if progress is not None:
             progress.close()
@@ -560,6 +675,7 @@ class Trainer:
                 f"(alive={n_alive}, dropped={int(stats.n_dropped)})"
             )
             self.state = grow_capacity(self.state, new_cap)
+        self._post_densify_budget_check(iteration, n_alive)
 
     def _maybe_adapt_budgets(
         self, iteration: int, peak_inst: int, peak_rows: int
@@ -568,14 +684,21 @@ class Trainer:
 
         The CUDA rasterizer sizes its key/value buffers dynamically every
         frame (SURVEY.md §2.3a); XLA's static shapes can't, so the budgets
-        are compile-time. GROW immediately on overflow — a frame past the
-        budget drops its deepest (gaussian, tile) pairs and silently
-        degrades training. SHRINK only after a long stretch of deep
-        underuse (instance-rate binning work is proportional to the budget,
-        not the true count). Either change re-jits the step once.
+        are compile-time. GROW PROACTIVELY at 60% occupancy: a window that
+        actually overflows drops its deepest (gaussian, tile) pairs before
+        the grow can react, so the budget must double while headroom still
+        exists (densification raises peaks ~monotonically; a >1.67x
+        single-window jump is the only way to still overflow, and
+        _post_densify_budget_check covers the densify-event jumps that
+        could do that). SHRINK only after a long stretch of deep underuse,
+        to 4x the stretch's peak, and never while densification is active
+        (work is still growing — a shrink then just schedules a future
+        overflow, which is how the round-3 quality run dropped pairs).
+        Either change re-jits the step once.
         """
         import dataclasses
 
+        self._last_peaks = (peak_inst, peak_rows)
         if not getattr(self, "adapt_budgets", True):
             if (
                 peak_inst > self.raster_cfg.max_instances
@@ -590,18 +713,28 @@ class Trainer:
                 )
             return
         cfg = self.raster_cfg
+        if peak_inst > cfg.max_instances or peak_rows > cfg.max_rows:
+            print(
+                f"\n[ITER {iteration}] raster budget OVERFLOW "
+                f"(peaks {peak_inst}/{peak_rows} vs "
+                f"{cfg.max_instances}/{cfg.max_rows}) — deepest pairs of "
+                "the overflowing window were dropped; growing"
+            )
         new_inst, new_rows = cfg.max_instances, cfg.max_rows
-        if peak_inst > cfg.max_instances:
-            new_inst = pow2_budget(peak_inst)
-        if peak_rows > cfg.max_rows:
-            new_rows = pow2_budget(peak_rows)
+        if peak_inst > 0.6 * cfg.max_instances:
+            new_inst = pow2_budget(peak_inst * 2)
+        if peak_rows > 0.6 * cfg.max_rows:
+            new_rows = pow2_budget(peak_rows * 2)
         if new_inst == cfg.max_instances and new_rows == cfg.max_rows:
-            underused = (
-                peak_inst < 0.35 * cfg.max_instances
-                and cfg.max_instances > MIN_RASTER_BUDGET
-            ) or (
-                peak_rows < 0.35 * cfg.max_rows
-                and cfg.max_rows > MIN_RASTER_BUDGET
+            densifying = iteration < self.opt_cfg.densify_until_iter
+            underused = not densifying and (
+                (
+                    peak_inst < 0.35 * cfg.max_instances
+                    and cfg.max_instances > MIN_RASTER_BUDGET
+                ) or (
+                    peak_rows < 0.35 * cfg.max_rows
+                    and cfg.max_rows > MIN_RASTER_BUDGET
+                )
             )
             self._budget_quiet_peaks = (
                 (
@@ -618,21 +751,31 @@ class Trainer:
                 # Size from the max over the whole quiet stretch, not just
                 # the last window, so a fluctuating peak doesn't re-grow.
                 new_inst = min(
-                    pow2_budget(self._budget_quiet_peaks[0], headroom=2.0),
+                    pow2_budget(self._budget_quiet_peaks[0], headroom=4.0),
                     cfg.max_instances,
                 )
                 new_rows = min(
-                    pow2_budget(self._budget_quiet_peaks[1], headroom=2.0),
+                    pow2_budget(self._budget_quiet_peaks[1], headroom=4.0),
                     cfg.max_rows,
                 )
                 self._budget_quiet_windows = 0
                 self._budget_quiet_peaks = (0, 0)
+        self._apply_budgets(
+            iteration, new_inst, new_rows,
+            f"peaks {peak_inst}/{peak_rows}",
+        )
+
+    def _apply_budgets(
+        self, iteration: int, new_inst: int, new_rows: int, why: str
+    ) -> None:
+        import dataclasses
+
+        cfg = self.raster_cfg
         if (new_inst, new_rows) == (cfg.max_instances, cfg.max_rows):
             return
         print(
             f"\n[ITER {iteration}] raster budgets {cfg.max_instances}/"
-            f"{cfg.max_rows} -> {new_inst}/{new_rows} "
-            f"(peaks {peak_inst}/{peak_rows})"
+            f"{cfg.max_rows} -> {new_inst}/{new_rows} ({why})"
         )
         self.raster_cfg = dataclasses.replace(
             cfg, max_instances=new_inst, max_rows=new_rows
@@ -643,6 +786,32 @@ class Trainer:
             k: v for k, v in self._render_cache.items() if k[-1] != cfg
         }
         self._sharded_cache.clear()
+
+    def _post_densify_budget_check(self, iteration: int, n_alive: int) -> None:
+        """Densify adds points BETWEEN windows, so the next window's peaks
+        jump discontinuously — the only case the 60%-occupancy proactive
+        grow of _maybe_adapt_budgets cannot see coming. Scale the last
+        window's peaks by the alive-count growth (x1.2 margin) and grow
+        NOW if the estimate crowds the budget, so no window ever overflows
+        (a dropped (gaussian, tile) pair silently degrades training)."""
+        prev = self._last_alive or n_alive
+        self._last_alive = n_alive
+        if not getattr(self, "adapt_budgets", True) or prev <= 0:
+            return
+        ratio = n_alive / prev
+        est_inst = int(self._last_peaks[0] * ratio * 1.2)
+        est_rows = int(self._last_peaks[1] * ratio * 1.2)
+        cfg = self.raster_cfg
+        new_inst, new_rows = cfg.max_instances, cfg.max_rows
+        if est_inst > 0.6 * cfg.max_instances:
+            new_inst = pow2_budget(est_inst * 2)
+        if est_rows > 0.6 * cfg.max_rows:
+            new_rows = pow2_budget(est_rows * 2)
+        self._apply_budgets(
+            iteration, new_inst, new_rows,
+            f"post-densify estimate {est_inst}/{est_rows}, "
+            f"alive {prev} -> {n_alive}",
+        )
 
     def _eval_bank_fn(self, bank: CameraBank):
         """Cached scanned on-device eval over a view-index array: ONE

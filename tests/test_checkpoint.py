@@ -50,7 +50,11 @@ def test_orbax_roundtrip(tmp_path):
 
     state = _state()
     path = str(tmp_path / "orbax_ckpt")
-    save_checkpoint_orbax(path, state, active_sh_degree=1, spatial_lr_scale=2.0)
-    restored, sh, lr = load_checkpoint_orbax(path)
+    save_checkpoint_orbax(
+        path, state, active_sh_degree=1, spatial_lr_scale=2.0,
+        extra={"probe": np.arange(4, dtype=np.int32)},
+    )
+    restored, sh, lr, extra = load_checkpoint_orbax(path)
     assert sh == 1 and lr == 2.0
+    np.testing.assert_array_equal(extra["probe"], np.arange(4))
     _assert_state_equal(state, restored)

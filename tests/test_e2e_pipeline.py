@@ -139,6 +139,59 @@ def test_trainer_loss_decreases(blender_dataset, tmp_path):
     assert trainer.n_alive() >= 300  # densify ran without wiping the scene
 
 
+def test_trainer_resume_parity_across_densify_and_reset(
+    blender_dataset, tmp_path
+):
+    """Train 60 straight vs train 30 + checkpoint + restore + train 30:
+    the resumed run must reproduce the uninterrupted one EXACTLY, across a
+    densify (iter 40) and an opacity-reset (iter 40) boundary — which
+    requires the checkpoint to carry the host-side state too (densify split
+    key, camera-stack order, RNGs; reference capture/restore semantics:
+    scene/gaussian_model.py:61-93, train.py:130-132)."""
+    import dataclasses  # noqa: F401
+
+    from gsjax.config import ModelConfig, OptimizationConfig
+    from gsjax.scene import Scene
+    from gsjax.train.trainer import Trainer
+
+    opt_cfg = OptimizationConfig(
+        iterations=60,
+        densify_from_iter=10,
+        densification_interval=20,
+        opacity_reset_interval=40,
+        densify_until_iter=55,
+    )
+
+    def run(mdir, start=None):
+        model_cfg = ModelConfig(
+            source_path=blender_dataset, model_path=str(mdir), eval=False
+        )
+        scene = Scene(model_cfg)
+        trainer = Trainer(
+            scene, model_cfg, opt_cfg, quiet=True, start_checkpoint=start
+        )
+        trainer.train(
+            test_iterations=(),
+            save_iterations=(),
+            checkpoint_iterations=(30,),
+        )
+        return trainer
+
+    straight = run(tmp_path / "straight")
+    resumed = run(
+        tmp_path / "resumed",
+        start=str(tmp_path / "straight" / "chkpnt30.npz"),
+    )
+
+    assert int(resumed.state.step) == int(straight.state.step) == 60
+    assert resumed.active_sh_degree == straight.active_sh_degree
+    a, b = straight.state, resumed.state
+    import jax
+
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_trainer_mesh_parallel_loss_decreases(blender_dataset, tmp_path):
     """The --data_parallel/--tile_parallel path: training on a
     (data=2, tile=2) device mesh (4 virtual CPU devices) runs the sharded
