@@ -21,6 +21,8 @@ weights: identical weights in, identical distance out.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -132,3 +134,46 @@ class TestLpipsTorchParity:
         _, path, x, _ = setup
         d = float(np.asarray(lpips(x[0], x[0], weights=path))[0])
         assert abs(d) < 1e-7
+
+
+def test_metrics_cli_reports_lpips_end_to_end(tmp_path, monkeypatch):
+    """The full metrics CLI path with a weights npz present: results.json
+    must carry a finite non-null LPIPS (reference: metrics.py:71-74 always
+    reports LPIPS-vgg). Pretrained values are unobtainable offline, so the
+    npz here is the torch-twin random-weight set — this pins the
+    plumbing (env-var discovery -> lpips() -> results.json), which is
+    exactly what breaks silently when weights are absent."""
+    import json
+
+    from PIL import Image
+
+    from gsjax.cli import metrics as metrics_cli
+
+    rng = np.random.default_rng(SEED)
+    wpath = tmp_path / "weights.npz"
+    np.savez(wpath, **_random_weights(rng))
+    monkeypatch.setenv("GSJAX_LPIPS_WEIGHTS", str(wpath))
+
+    model = tmp_path / "model"
+    for sub in ("renders", "gt"):
+        os.makedirs(model / "test" / "ours_7" / sub)
+    for i in range(2):
+        a = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+        b = np.clip(
+            a.astype(np.int32) + rng.integers(-20, 20, a.shape), 0, 255
+        ).astype(np.uint8)
+        Image.fromarray(a).save(
+            model / "test" / "ours_7" / "renders" / f"{i:05d}.png"
+        )
+        Image.fromarray(b).save(
+            model / "test" / "ours_7" / "gt" / f"{i:05d}.png"
+        )
+
+    metrics_cli.main(["-m", str(model)])
+    with open(model / "results.json") as f:
+        results = json.load(f)
+    val = results["ours_7"]["LPIPS"]
+    assert val is not None and np.isfinite(val) and val > 0.0
+    with open(model / "per_view.json") as f:
+        pv = json.load(f)
+    assert len(pv["ours_7"]["LPIPS"]) == 2

@@ -59,10 +59,17 @@ def warm_until_stable(run_once, state, max_calls=40):
         state = run_once(state)
         fence(state.params.xyz)
         dt = time.perf_counter() - t0
-        best = min(best, dt)
+        # Compare against the best seen BEFORE this call: a streak must
+        # mean "no longer improving", so a new best (still warming) resets
+        # it rather than counting toward it.
         streak = streak + 1 if dt < 1.5 * best else 0
+        best = min(best, dt)
         if streak >= 3 and i >= 4:
             return state
+    print(
+        f"WARNING: warm_until_stable did not stabilize in {max_calls} "
+        "calls; timings below may include residual warm-up"
+    )
     return state
 
 
@@ -95,7 +102,7 @@ def main() -> None:
         p = jax.tree.map(jnp.copy, params)
         return TrainState(
             params=p, opt=adam_init(p),
-            aux=jax.tree.map(jnp.copy, aux.replace(alive=aux.alive)),
+            aux=jax.tree.map(jnp.copy, aux),
             step=jnp.zeros((), jnp.int32),
         )
 

@@ -36,6 +36,10 @@ def main() -> None:
         "--virtual", type=int, default=0,
         help="force N virtual CPU devices (0 = use real devices)",
     )
+    ap.add_argument(
+        "--out", default=None,
+        help="also write the JSON payload to this file",
+    )
     args = ap.parse_args()
 
     if args.virtual:
@@ -117,11 +121,16 @@ def main() -> None:
             r["efficiency_vs_1dev"] = round(
                 t1 / (r["tile"] * r["ms_per_step"]), 4
             )
-        print(json.dumps({
+        payload = {
             "backend": jax.default_backend(),
+            "virtual_devices": args.virtual or None,
             "width": W, "height": H, "n_gaussians": args.n,
             "results": results,
-        }))
+        }
+        print(json.dumps(payload))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -67,7 +67,7 @@ def main() -> None:
         p = jax.tree.map(jnp.copy, params)
         return TrainState(
             params=p, opt=adam_init(p),
-            aux=jax.tree.map(jnp.copy, aux.replace(alive=aux.alive)),
+            aux=jax.tree.map(jnp.copy, aux),
             step=jnp.zeros((), jnp.int32),
         )
 
