@@ -381,3 +381,54 @@ def test_trainer_pow2_chunked_windows_match_single_scan(blender_dataset, tmp_pat
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(a, b), chunked, single
     )
+
+
+def test_epoch_order_semantics():
+    """Pin the camera-draw semantics to the reference's
+    pop-random-view-from-shuffled-stack (train.py:76-78): with ONE bank the
+    popped sequence over an epoch is exactly the seeded shuffle (popped
+    from the end), each epoch a fresh shuffle with no repeats; with several
+    banks, windows interleave banks randomly (remaining-count-weighted)
+    instead of running one bank to exhaustion."""
+    import random as pyrandom
+    from types import SimpleNamespace
+
+    from gsjax.train.trainer import Trainer
+
+    def stub_trainer(counts):
+        t = Trainer.__new__(Trainer)
+        t.banks = [SimpleNamespace(count=c) for c in counts]
+        t._bank_stacks = [[] for _ in counts]
+        t._shuffler = pyrandom.Random(0)
+        return t
+
+    # Single bank: epoch = seeded shuffle popped from the end; no repeats.
+    t = stub_trainer([10])
+    seq = []
+    for _ in range(10):
+        b, cams = t._next_window(1)
+        assert b == 0
+        seq += cams
+    expect = list(range(10))
+    pyrandom.Random(0).shuffle(expect)
+    assert seq == expect[::-1]
+    b, cams = t._next_window(3)  # next epoch: fresh shuffle, same multiset
+    assert sorted(seq) == list(range(10)) and len(set(cams)) == len(cams)
+
+    # Two banks: windows must interleave (the round-3 deviation ran bank 0
+    # to exhaustion first), and an epoch drains exactly each bank's count.
+    t = stub_trainer([40, 40])
+    order = []
+    drawn = {0: 0, 1: 0}
+    b, cams = t._next_window(8)  # primes the epoch (refill is lazy)
+    order.append(b)
+    drawn[b] += len(cams)
+    while any(t._bank_stacks):
+        b, cams = t._next_window(8)
+        order.append(b)
+        drawn[b] += len(cams)
+    assert drawn == {0: 40, 1: 40}
+    first_of_1 = order.index(1)
+    assert first_of_1 < len(order) - 1 and 0 in order[first_of_1:], (
+        f"banks did not interleave: {order}"
+    )
