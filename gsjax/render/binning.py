@@ -266,6 +266,33 @@ def _expand(start: jnp.ndarray, budget: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     return owner, s
 
 
+def _expand_packed(
+    values: jnp.ndarray, start: jnp.ndarray, budget: int
+) -> jnp.ndarray:
+    """Expand per-run 32-bit `values[r]` + slot offset into `budget` slots
+    WITHOUT the budget-rate table gather: slot p of run r must read
+    values[r] + (p - start[r]).
+
+    values[r] - start[r] is constant over run r, so the target is a
+    segmented affine sequence: scatter its per-run DELTAS at the run starts
+    and take one running cumsum. int32/uint32 addition is exact mod 2^32,
+    so the deltas telescope BIT-EXACTLY to values[r] - start[r] at every
+    slot — including through zero-length runs, whose deltas land on the
+    same position and just accumulate (scatter-add), and through wraparound.
+    Cost: one single-column scatter at run rate + one cumsum at budget rate,
+    replacing the mark-scatter + cumsum + budget-rate multi-column gather
+    (XLA scatters/gathers cost per ELEMENT at instance scale; a (P, 3)
+    gather is ~7 ns x 3P while this cumsum streams at full HBM bandwidth).
+
+    Returns uint32 slot values; slots past the last run's end hold garbage
+    (callers mask with their own validity predicate, as with _expand).
+    """
+    u = values.astype(jnp.uint32) - start.astype(jnp.uint32)
+    delta = u - jnp.concatenate([jnp.zeros(1, jnp.uint32), u[:-1]])
+    acc = jnp.zeros(budget, jnp.uint32).at[start].add(delta, mode="drop")
+    return jnp.cumsum(acc) + jnp.arange(budget, dtype=jnp.uint32)
+
+
 def bin_gaussians(
     mean_pix: jnp.ndarray,
     depth: jnp.ndarray,
@@ -361,26 +388,58 @@ def bin_gaussians(
     total = icum[-1]
 
     # --- level 2: rows -> instances ------------------------------------------
-    iowner, p = _expand(istart, P)
+    # Bit budgets for the packed paths (static — shapes are trace constants).
+    bits_tile = max((n_tiles - 1).bit_length(), 1)  # tile values < n_tiles
+    bits_g = max((n - 1).bit_length(), 1)  # owner values < n
+    bits_p = max((P - 1).bit_length(), 1)  # slot values < P
+    bits_tile_s = max(n_tiles.bit_length(), 1)  # sort key incl. sentinel
+    p = jnp.arange(P, dtype=jnp.int32)
     ivalid = p < jnp.minimum(total, P)
-    ir = jnp.clip(iowner, 0, R - 1)
-    inst_table = jnp.stack([istart, tile_base, rg], axis=-1)  # (R, 3) int32
-    it = jnp.take(inst_table, ir, axis=0)  # (P, 3)
-    tile = it[:, 1] + (p - it[:, 0])
-    g = it[:, 2]
+    if bits_g + bits_tile <= 32:
+        # (owner, tile) ride ONE packed segmented-affine cumsum: the slot
+        # offset k increments the LOW (tile) field only (tile_base + k <
+        # 2^bits_tile), so owner bits never see a carry. Replaces the
+        # (P, 3) budget-rate inst_table gather of the fallback below.
+        packed_w = (
+            rg.astype(jnp.uint32) << bits_tile
+        ) | tile_base.astype(jnp.uint32)
+        w = _expand_packed(packed_w, istart, P)
+        g = (w >> bits_tile).astype(jnp.int32)
+        tile = (w & jnp.uint32((1 << bits_tile) - 1)).astype(jnp.int32)
+    else:
+        iowner, _ = _expand(istart, P)
+        ir = jnp.clip(iowner, 0, R - 1)
+        inst_table = jnp.stack([istart, tile_base, rg], axis=-1)  # (R, 3)
+        it = jnp.take(inst_table, ir, axis=0)  # (P, 3)
+        tile = it[:, 1] + (p - it[:, 0])
+        g = it[:, 2]
     tile = jnp.where(ivalid, tile, n_tiles)  # sentinel sorts last
+    g = jnp.where(ivalid, jnp.clip(g, 0, n - 1), n)
 
     # --- group by tile: stable 1-key sort (depth order rides via owner; the
     # pre-sort slot index rides too — the backward inverts it to regroup
-    # its gradient stream without a nine-f32-rider re-sort).
-    sorted_tile, sorted_owner, sorted_slot = lax.sort(
-        (tile, g, p), num_keys=1, is_stable=True
-    )
+    # its gradient stream without a nine-f32-rider re-sort). When
+    # (tile, slot) fit one word, the slot rides the KEY's low bits — a
+    # single-array sort with identical order (ties break by slot =
+    # expansion order = stability) at a third of the 3-array cost.
+    if bits_tile_s + bits_p <= 32:
+        key = (tile.astype(jnp.uint32) << bits_p) | p.astype(jnp.uint32)
+        skey, sorted_owner = lax.sort((key, g), num_keys=1, is_stable=False)
+        sorted_tile = (skey >> bits_p).astype(jnp.int32)
+        sorted_slot = (skey & jnp.uint32((1 << bits_p) - 1)).astype(jnp.int32)
+        tile_start = jnp.searchsorted(
+            skey,
+            jnp.arange(n_tiles + 1, dtype=jnp.uint32) << bits_p,
+            side="left",
+        ).astype(jnp.int32)
+    else:
+        sorted_tile, sorted_owner, sorted_slot = lax.sort(
+            (tile, g, p), num_keys=1, is_stable=True
+        )
+        tile_start = jnp.searchsorted(
+            sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
     sorted_owner = jnp.where(sorted_tile < n_tiles, sorted_owner, n)
-
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
 
     # --- gaussian-major run boundaries for the backward ----------------------
     # Arithmetic on the expansion cumsums: owner o's instances start at the

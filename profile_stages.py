@@ -34,7 +34,10 @@ WIDTH, HEIGHT = 1920, 1080
 N = 500_000
 SH_DEGREE = 3
 ITERS = 30
-BUDGET = 3 * 2 ** 20
+# Match bench.py's snug budgets exactly so stage times sum to the headline
+# step (instance-rate stages scale with the BUDGET, not the true count).
+BUDGET = 1_179_648
+ROW_BUDGET = 524_288
 
 
 def timeit(name, fn, *args, fence=None):
@@ -57,7 +60,10 @@ def main():
         scale_range=(0.004, 0.03),
     )
     camera = look_at_origin_camera(width=WIDTH, height=HEIGHT)
-    cfg = RasterConfig(max_instances=BUDGET, interpret=not on_tpu)
+    cfg = RasterConfig(
+        tile_w=32, tile_h=32, max_instances=BUDGET, max_rows=ROW_BUDGET,
+        interpret=not on_tpu,
+    )
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
     alive = aux.alive
@@ -122,18 +128,24 @@ def main():
         strips=static.strips, interpret=static.interpret))
     ig = timeit("composite bwd kernel", bwdk, inst, binning.tile_start, cot)
 
-    def reduce_grads(inst_grads, owners, gm_start):
+    def reduce_grads(inst_grads, sorted_slot, gm_start):
+        # The shipping regroup (composite._composite_bwd): invert the ridden
+        # tile-sort permutation (2-array sort), gather the grad stream back
+        # to owner-major expansion order, segment-sum gm_start runs.
         from jax import lax
         from gsjax.render import common as C
         from gsjax.render.pallas_kernels import segment_sum_pallas
-        rows = tuple(inst_grads[i] for i in range(C.N_FIELDS))
-        gm = lax.sort((owners, *rows), num_keys=1, is_stable=True)
-        vals = jnp.pad(jnp.stack(gm[1:], axis=0), ((0, 7), (0, 0)))
+        pp = sorted_slot.shape[0]
+        _, slot_of_inst = lax.sort(
+            (sorted_slot, jnp.arange(pp, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        vals = jnp.take(inst_grads.T, slot_of_inst, axis=0).T
         n = gm_start.shape[0] - 1
         sums = segment_sum_pallas(vals, gm_start, interpret=cfg.interpret)
-        return sums[:, :n].T
+        return sums[: C.N_FIELDS, :n].T
     red = jax.jit(reduce_grads)
-    timeit("grad reduction", red, ig, binning.sorted_owner, binning.gm_start)
+    timeit("grad reduction", red, ig, binning.sorted_slot, binning.gm_start)
 
     n_inst = int(binning.num_instances)
     live = int(np.asarray(binning.tile_start)[-1])

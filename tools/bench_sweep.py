@@ -101,6 +101,24 @@ def main() -> None:
 
     results = []
     for name in args.configs.split(","):
+        try:
+            _sweep_one(name, args, params, aux, camera, bank, opt_cfg, bg,
+                       results)
+        except Exception as e:  # noqa: BLE001 — a config that fails to
+            # compile (e.g. 64x32 bwd exceeding scoped VMEM) must not kill
+            # the remaining configs' measurements.
+            entry = {"config": name, "error": f"{type(e).__name__}: {e}"[:300]}
+            print(json.dumps(entry), flush=True)
+            results.append(entry)
+
+    payload = {"backend": jax.default_backend(), "n": N, "results": results}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+
+
+def _sweep_one(name, args, params, aux, camera, bank, opt_cfg, bg, results):
+    if True:
         cfg = parse_cfg(name)
         entry = {"config": name, "max_instances": cfg.max_instances}
 
@@ -174,11 +192,6 @@ def main() -> None:
 
         print(json.dumps(entry), flush=True)
         results.append(entry)
-
-    payload = {"backend": jax.default_backend(), "n": N, "results": results}
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,15 @@ def main() -> None:
     ap.add_argument("--out", default="artifacts/quality_run.json")
     ap.add_argument("--scene_dir", default="/tmp/gsjax_quality_scene")
     ap.add_argument("--model_dir", default="/tmp/gsjax_quality_model")
+    # Pre-sized shapes (VERDICT r3 #3): every budget/capacity growth is a
+    # full step recompile — minutes each over the TPU tunnel with a cold
+    # cache. Sizing to the r3 run's final scale from iteration 0 costs some
+    # early-iteration budget-rate waste but keeps the whole run on a handful
+    # of executables AND guarantees zero dropped pairs without mid-run
+    # growth events. adapt_budgets stays on as a backstop.
+    ap.add_argument("--capacity", type=int, default=None)
+    ap.add_argument("--max_instances", type=int, default=262_144)
+    ap.add_argument("--max_rows", type=int, default=131_072)
     args = ap.parse_args()
 
     from tools.synthetic_scene import generate
@@ -60,14 +69,15 @@ def main() -> None:
     )
     opt_cfg = OptimizationConfig(iterations=args.iterations)
     os.makedirs(args.model_dir, exist_ok=True)
-    scene = Scene(model_cfg, capacity=65_536)
+    scene = Scene(model_cfg, capacity=args.capacity or 65_536)
     # Round-4 (VERDICT r3 #3): a quality artifact must show ZERO dropped
     # (gaussian, tile) pairs. The trainer now grows budgets PROACTIVELY at
     # 60% occupancy (plus a post-densify jump estimate) and never shrinks
     # while densification is active — so start snug and let it track the
     # scene; any OVERFLOW line in budget_events is the loud failure signal.
     raster_cfg = RasterConfig(
-        tile_w=32, tile_h=32, max_instances=262_144, max_rows=131_072,
+        tile_w=32, tile_h=32,
+        max_instances=args.max_instances, max_rows=args.max_rows,
     )
     tb = SummaryWriter(args.model_dir)
     trainer = Trainer(
@@ -98,6 +108,7 @@ def main() -> None:
     sys.stdout = Tee(real_stdout, captured)
     t0 = time.perf_counter()
     crashed = None
+    interrupted = False
     try:
         trainer.train(
             test_iterations=tuple(test_iters),
@@ -110,8 +121,11 @@ def main() -> None:
             ),
             checkpoint_iterations=(),
         )
-    except Exception as e:  # noqa: BLE001 — still write the partial artifact
+    except (Exception, KeyboardInterrupt) as e:  # noqa: BLE001 — still write
+        # the partial artifact; SIGINT on the exact PID is the sanctioned
+        # "stop now but keep the curve" path for a wall-clock-boxed run.
         crashed = f"{type(e).__name__}: {e}"[:300]
+        interrupted = isinstance(e, KeyboardInterrupt)
     finally:
         sys.stdout = real_stdout
     wall = time.perf_counter() - t0
@@ -131,7 +145,8 @@ def main() -> None:
     )
     os.makedirs(render_dir, exist_ok=True)
     final_views = []
-    banks = [] if crashed else scene.get_test_banks()
+    # An interrupt leaves the backend healthy — still score the final state.
+    banks = [] if (crashed and not interrupted) else scene.get_test_banks()
     for b, bank in enumerate(banks):
         for i in range(bank.count):
             cam, gt = bank.pick(jnp.int32(i))
