@@ -215,3 +215,32 @@ def test_permute_rows_grad_is_exact_inverse_gather():
     np.testing.assert_array_equal(
         np.asarray(vjp_custom(ct)[0]), np.asarray(vjp_generic(ct)[0])
     )
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_packed_paths_match_fallback(seed):
+    """The uint32 packed expansion/sort (auto on every sub-2^32-bit shape)
+    must produce the exact layout of the gather/3-array-sort fallback —
+    the fallback is unreachable at test scales, so pin it explicitly."""
+    rng = np.random.default_rng(seed)
+    n, h, w = 120, 96, 128
+    cfg = RasterConfig(max_instances=4096, max_rows=2048, interpret=True)
+    mean_pix = rng.uniform(-20, 140, (n, 2)).astype(np.float32)
+    depth = rng.uniform(0.5, 9.0, n).astype(np.float32)
+    ext = rng.uniform(0, 25, (n, 2)).astype(np.float32)
+    ext[::5] = 0.0
+    conic = np.tile(TINY_CONIC, (n, 1))
+    qmax = np.full(n, BIG_Q, np.float32)
+    args = (
+        jnp.asarray(mean_pix), jnp.asarray(depth), jnp.asarray(ext),
+        jnp.asarray(conic), jnp.asarray(qmax), h, w, cfg,
+    )
+    a = bin_gaussians(*args)
+    b = bin_gaussians(*args, packed_paths=False)
+    for name in (
+        "perm", "sorted_owner", "sorted_slot", "tile_start", "gm_start",
+        "num_instances", "num_rows",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)), name
+        )

@@ -291,20 +291,24 @@ class TestDensify:
 class TestBudgetAdaptation:
     """_maybe_adapt_budgets state machine, driven directly (no scene)."""
 
-    def _host(self, inst=1 << 20, rows=1 << 20):
+    def _host(self, inst=1 << 20, rows=1 << 20, densify_until=0):
         import types
 
-        from gsjax.config import RasterConfig
+        from gsjax.config import OptimizationConfig, RasterConfig
         from gsjax.train.trainer import Trainer
 
         host = types.SimpleNamespace(
             raster_cfg=RasterConfig(max_instances=inst, max_rows=rows),
+            # densify_until=0: shrink is allowed (densification inactive at
+            # every driven iteration); tests of the busy case override.
+            opt_cfg=OptimizationConfig(densify_until_iter=densify_until),
             _budget_quiet_windows=0,
             _budget_quiet_peaks=(0, 0),
             _render_cache={},
             _sharded_cache={},
         )
         host.adapt = types.MethodType(Trainer._maybe_adapt_budgets, host)
+        host._apply_budgets = types.MethodType(Trainer._apply_budgets, host)
         return host
 
     def test_grows_immediately_on_overflow(self):
@@ -321,15 +325,15 @@ class TestBudgetAdaptation:
         h = self._host()
         for i in range(50):
             h.adapt(i, peak_inst=1 << 17, peak_rows=1 << 16)
-        assert h.raster_cfg.max_instances == 1 << 18  # 2x headroom over peak
-        assert h.raster_cfg.max_rows == 1 << 17
+        assert h.raster_cfg.max_instances == 1 << 19  # 4x headroom over peak
+        assert h.raster_cfg.max_rows == 1 << 18
 
     def test_shrink_sizes_from_stretch_max_not_last_window(self):
-        h = self._host()
+        h = self._host(inst=1 << 22, rows=1 << 22)
         for i in range(49):
             h.adapt(i, peak_inst=1 << 18, peak_rows=1 << 17)
         h.adapt(49, peak_inst=1 << 14, peak_rows=1 << 14)  # dip at the end
-        assert h.raster_cfg.max_instances == 1 << 19  # sized from the max
+        assert h.raster_cfg.max_instances == 1 << 20  # sized from the max
 
     def test_no_shrink_below_floor_or_when_busy(self):
         from gsjax.config import MIN_RASTER_BUDGET
@@ -342,6 +346,13 @@ class TestBudgetAdaptation:
         for i in range(60):
             h2.adapt(i, peak_inst=1 << 19, peak_rows=1 << 19)  # 50% used
         assert h2.raster_cfg.max_instances == 1 << 20  # untouched
+        # Never shrink while densification is active: work is still
+        # growing, and a shrink just schedules a future overflow (the r3
+        # quality run's dropped-pairs failure mode).
+        h3 = self._host(densify_until=10_000)
+        for i in range(60):
+            h3.adapt(i, peak_inst=10, peak_rows=10)
+        assert h3.raster_cfg.max_instances == 1 << 20  # untouched
 
 
 class TestPow2Chunks:
