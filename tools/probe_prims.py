@@ -117,10 +117,15 @@ def main():
     timeit("take (N,8) rows @P", lambda s, i: jnp.take(s, i, axis=0), f8, idx_p)
     timeit("take (N,1) rows @P", lambda s, i: jnp.take(s, i, axis=0), f1, idx_p)
     timeit("take (N,16) rows @R", lambda s, i: jnp.take(s, i, axis=0), f32, idx_r)
-    timeit(
-        "pallas row gather (N,16)@P b512",
-        lambda s, i: pallas_row_gather(s, i), f32, perm_p,
-    )
+    try:
+        timeit(
+            "pallas row gather (N,16)@P b512",
+            lambda s, i: pallas_row_gather(s, i), f32, idx_p,
+        )
+    except Exception as e:  # noqa: BLE001 — prototype; the XLA numbers
+        # above are the decision data either way.
+        print(f"pallas row gather failed: {type(e).__name__}: {e}"[:300],
+              flush=True)
     timeit(
         "scatter-add 1col N->R",
         lambda s: jnp.zeros(R, jnp.int32).at[s].add(1, mode="drop"), startsn,
@@ -157,6 +162,36 @@ def main():
         "sort f32key+1rider @N",
         lambda k, r: lax.sort((k, r), num_keys=1, is_stable=True),
         vals_p[:N], perm_p[:N],
+    )
+
+    # Per-grid-step fixed cost of the composite kernels: an all-empty
+    # tile_start walks ZERO chunks, so the whole run is grid sequencing +
+    # state init + output DMA — the floor a 2-tiles-per-grid-step layout
+    # would halve. 1080p/32x32 = 2040 tiles.
+    from gsjax.render.pallas_kernels import (
+        composite_backward_pallas,
+        composite_forward_pallas,
+    )
+
+    n_tiles, tiles_x = 2040, 60
+    inst = jnp.zeros((16, 1024), jnp.float32)
+    ts_empty = jnp.zeros(n_tiles + 1, jnp.int32)
+    timeit(
+        "fwd kernel, empty stream (fixed/step)",
+        lambda i, t: composite_forward_pallas(
+            i, t, n_tiles=n_tiles, tiles_x=tiles_x, tile_w=32, tile_h=32,
+            chunk=128, strips=1,
+        ),
+        inst, ts_empty,
+    )
+    cot = jnp.zeros((n_tiles, 8, 1024), jnp.float32)
+    timeit(
+        "bwd kernel, empty stream (fixed/step)",
+        lambda i, t, c: composite_backward_pallas(
+            i, t, c, n_tiles=n_tiles, tiles_x=tiles_x, tile_w=32, tile_h=32,
+            chunk=128, strips=1,
+        ),
+        inst, ts_empty, cot,
     )
 
 

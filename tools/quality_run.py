@@ -69,6 +69,23 @@ def main() -> None:
     )
     opt_cfg = OptimizationConfig(iterations=args.iterations)
     os.makedirs(args.model_dir, exist_ok=True)
+    # Auto-resume from the newest periodic checkpoint: the tunneled TPU
+    # client can wedge mid-run (one TCP stream dies while fresh clients
+    # work), and bit-exact resume turns that from a lost multi-hour run
+    # into a lost <=1000 iterations. A watchdog (tools/chain_r4 scripts)
+    # kills the stale PID; this picks the run back up.
+    import re as _re
+
+    ckpts = sorted(
+        (
+            int(m.group(1)), os.path.join(args.model_dir, f)
+        )
+        for f in os.listdir(args.model_dir)
+        if (m := _re.fullmatch(r"chkpnt(\d+)\.npz", f))
+    )
+    resume_from = ckpts[-1][1] if ckpts else None
+    if resume_from:
+        print(f"resuming from {resume_from}", flush=True)
     scene = Scene(model_cfg, capacity=args.capacity or 65_536)
     # Round-4 (VERDICT r3 #3): a quality artifact must show ZERO dropped
     # (gaussian, tile) pairs. The trainer now grows budgets PROACTIVELY at
@@ -82,7 +99,7 @@ def main() -> None:
     tb = SummaryWriter(args.model_dir)
     trainer = Trainer(
         scene, model_cfg, opt_cfg, raster_cfg=raster_cfg, tb_writer=tb,
-        adapt_budgets=True,
+        adapt_budgets=True, start_checkpoint=resume_from,
     )
 
     test_iters = sorted(
@@ -119,7 +136,12 @@ def main() -> None:
                 sorted({i for i in (5000, 10_000) if i < args.iterations}
                        | {args.iterations})
             ),
-            checkpoint_iterations=(),
+            # Every 1000 iters: wedge-recovery granularity (see auto-resume
+            # above). npz at ~2M capacity is ~1 GB/write but only seconds
+            # of host time, amortized over ~10 min of training each.
+            checkpoint_iterations=tuple(
+                range(1000, args.iterations + 1, 1000)
+            ),
         )
     except (Exception, KeyboardInterrupt) as e:  # noqa: BLE001 — still write
         # the partial artifact; SIGINT on the exact PID is the sanctioned
@@ -190,6 +212,11 @@ def main() -> None:
 
     result = {
         "crashed": crashed,
+        # Non-null when a tunnel-wedge watchdog restart resumed the run:
+        # the eval curve below then starts after the resume point (earlier
+        # points live in the previous attempt's log; merged by the round
+        # harness when assembling the final artifact).
+        "resumed_from": resume_from,
         "dataset": "ray-traced spheres+checkerboard (tools/synthetic_scene.py)",
         "resolution": 400,
         "iterations": args.iterations,
