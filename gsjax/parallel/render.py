@@ -25,7 +25,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gsjax.config import RasterConfig
 from gsjax.core.cameras import Camera
 from gsjax.model import GaussianParams
-from gsjax.render.binning import bin_gaussians, num_tiles, permute_rows
+from gsjax.render.binning import (
+    bin_gaussians,
+    depth_order,
+    num_tiles,
+    permute_rows,
+)
 from gsjax.render.common import untile_image
 from gsjax.render.composite import CompositeStatic, composite, pack_fields
 from gsjax.render.preprocess import preprocess
@@ -69,8 +74,19 @@ def composite_slab(
     shift = jnp.stack([jnp.zeros_like(py0), py0])
     mean_local = mean_pix - shift[None, :].astype(jnp.float32)
 
+    # ONE fused N-rate depth permute for binning AND composite fields (see
+    # api.render); permute_rows' custom VJP is an inverse-permutation
+    # gather — never let autodiff transpose a take() into an element-rate
+    # scatter-add on TPU.
+    perm = depth_order(depth)
+    fields12 = jnp.concatenate(
+        [pack_fields(mean_local, conic, rgb, opacity), ext, qmax[:, None]],
+        axis=-1,
+    )
+    f12 = permute_rows(fields12, perm)
     binning = bin_gaussians(
-        mean_local, depth, ext, conic, qmax, slab_px, w_pad, cfg
+        f12[:, 0:2], depth, f12[:, 9:11], f12[:, 2:5], f12[:, 11],
+        slab_px, w_pad, cfg, perm=perm,
     )
     static = CompositeStatic(
         n_tiles=tiles_x * rows,
@@ -82,12 +98,7 @@ def composite_slab(
         interpret=cfg.interpret,
         fast_fwd=cfg.fast_fwd,
     )
-    fields = pack_fields(mean_local, conic, rgb, opacity)
-    # permute_rows' custom VJP is an inverse-permutation gather — never let
-    # autodiff transpose a take() into an element-rate scatter-add on TPU.
-    tile_color, tile_t = composite(
-        permute_rows(fields, binning.perm), binning, static
-    )
+    tile_color, tile_t = composite(f12[:, 0:9], binning, static)
     color, transmittance = untile_image(
         tile_color, tile_t, slab_px, w_pad, tiles_x, rows, cfg.tw, cfg.th
     )

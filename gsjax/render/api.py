@@ -17,7 +17,12 @@ import jax.numpy as jnp
 from gsjax.config import RasterConfig
 from gsjax.core.cameras import Camera
 from gsjax.model import GaussianParams
-from gsjax.render.binning import bin_gaussians, num_tiles, permute_rows
+from gsjax.render.binning import (
+    bin_gaussians,
+    depth_order,
+    num_tiles,
+    permute_rows,
+)
 from gsjax.render.common import untile_image
 from gsjax.render.composite import CompositeStatic, composite, pack_fields
 from gsjax.render.preprocess import preprocess
@@ -103,15 +108,31 @@ def render(
         rgb_precomp=rgb_pre,
     )
 
+    # ONE fused N-rate depth permute for BOTH consumers: cols 0..8 are the
+    # differentiable composite fields (pack_fields layout), cols 9..11 the
+    # binning-only ext/qmax (sliced under stop_gradient inside binning).
+    # permute_rows' custom VJP maps cotangents back to original order with
+    # an inverse-permutation gather instead of an element-rate scatter-add.
+    perm = depth_order(proj.depth)
+    fields12 = jnp.concatenate(
+        [
+            pack_fields(proj.mean_pix, proj.conic, proj.rgb, proj.opacity),
+            proj.ext,
+            proj.qmax[:, None],
+        ],
+        axis=-1,
+    )  # (N, 12)
+    f12 = permute_rows(fields12, perm)
     binning = bin_gaussians(
-        proj.mean_pix,
+        f12[:, 0:2],
         proj.depth,
-        proj.ext,
-        proj.conic,
-        proj.qmax,
+        f12[:, 9:11],
+        f12[:, 2:5],
+        f12[:, 11],
         camera.height,
         camera.width,
         cfg,
+        perm=perm,
     )
 
     tiles_x, tiles_y = num_tiles(camera.height, camera.width, cfg.tw, cfg.th)
@@ -125,13 +146,7 @@ def render(
         interpret=cfg.interpret,
         fast_fwd=cfg.fast_fwd,
     )
-    # Depth-permute the packed differentiable fields (one N-rate gather;
-    # permute_rows' custom VJP maps cotangents back to original order with
-    # an inverse-permutation gather instead of an element-rate scatter-add).
-    fields = pack_fields(proj.mean_pix, proj.conic, proj.rgb, proj.opacity)
-    tile_color, tile_t = composite(
-        permute_rows(fields, binning.perm), binning, static
-    )
+    tile_color, tile_t = composite(f12[:, 0:9], binning, static)
     color, transmittance = untile_image(
         tile_color, tile_t, camera.height, camera.width, tiles_x, tiles_y,
         cfg.tw, cfg.th,

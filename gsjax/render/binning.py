@@ -302,23 +302,33 @@ def bin_gaussians(
     height: int,
     width: int,
     cfg: RasterConfig,
+    packed_paths: bool | None = None,
+    perm: jnp.ndarray | None = None,
 ) -> Binning:
     """Build the depth-sorted, tile-grouped instance layout.
 
     Args:
       mean_pix: [N,2] continuous pixel centers (gradients stopped here).
-      depth: [N] view-space z (sort key).
+      depth: [N] view-space z (sort key; ignored when `perm` is given).
       ext: [N,2] tight pixel extents (0 = skip).
       conic: [N,3] inverse 2D covariance (a, b, c).
       qmax: [N] alpha-threshold level 2 ln(255 op).
       height/width: image dims (static).
       cfg: static rasterizer config.
+      packed_paths: None (default) auto-selects the packed uint32
+        expansion/sort when the bit budgets fit; False forces the
+        gather/3-array-sort fallback (tests pin packed == fallback — the
+        fallback is otherwise unreachable below ~2^32 slot-bit scales).
+      perm: optional precomputed depth permutation. When given, ALL array
+        inputs must already be in depth order — the caller fused this
+        permute with its own differentiable-fields permute (render() rides
+        both through ONE N-rate (N, 12) row gather instead of two).
     """
     mean_pix = lax.stop_gradient(mean_pix)
     conic = lax.stop_gradient(conic)
     ext = lax.stop_gradient(ext)
     qmax = lax.stop_gradient(qmax)
-    n = depth.shape[0]
+    n = mean_pix.shape[0]
     tiles_x, tiles_y = num_tiles(height, width, cfg.tw, cfg.th)
     n_tiles = tiles_x * tiles_y
     P = cfg.max_instances
@@ -327,15 +337,19 @@ def bin_gaussians(
     tsy = float(cfg.th)
 
     # --- depth-sort gaussians: one packed N-rate permute ---------------------
-    perm = depth_order(depth)
-    packed = jnp.concatenate(
-        [mean_pix, conic, ext, qmax[:, None]], axis=-1
-    )  # (N, 8)
-    packed = jnp.take(packed, perm, axis=0)
-    mp = packed[:, 0:2]
-    co = packed[:, 2:5]
-    ex = packed[:, 5:7]
-    qm = packed[:, 7]
+    if perm is None:
+        perm = depth_order(depth)
+        packed = jnp.concatenate(
+            [mean_pix, conic, ext, qmax[:, None]], axis=-1
+        )  # (N, 8)
+        packed = jnp.take(packed, perm, axis=0)
+        mp = packed[:, 0:2]
+        co = packed[:, 2:5]
+        ex = packed[:, 5:7]
+        qm = packed[:, 7]
+    else:
+        perm = lax.stop_gradient(perm)
+        mp, co, ex, qm = mean_pix, conic, ext, qmax
 
     x0, y0, x1, y1 = tile_rect_ext(mp, ex, tiles_x, tiles_y, cfg.tw, cfg.th)
     row_counts = y1 - y0  # [N]
@@ -395,7 +409,8 @@ def bin_gaussians(
     bits_tile_s = max(n_tiles.bit_length(), 1)  # sort key incl. sentinel
     p = jnp.arange(P, dtype=jnp.int32)
     ivalid = p < jnp.minimum(total, P)
-    if bits_g + bits_tile <= 32:
+    auto = packed_paths is not False
+    if auto and bits_g + bits_tile <= 32:
         # (owner, tile) ride ONE packed segmented-affine cumsum: the slot
         # offset k increments the LOW (tile) field only (tile_base + k <
         # 2^bits_tile), so owner bits never see a carry. Replaces the
@@ -422,7 +437,7 @@ def bin_gaussians(
     # (tile, slot) fit one word, the slot rides the KEY's low bits — a
     # single-array sort with identical order (ties break by slot =
     # expansion order = stability) at a third of the 3-array cost.
-    if bits_tile_s + bits_p <= 32:
+    if auto and bits_tile_s + bits_p <= 32:
         key = (tile.astype(jnp.uint32) << bits_p) | p.astype(jnp.uint32)
         skey, sorted_owner = lax.sort((key, g), num_keys=1, is_stable=False)
         sorted_tile = (skey >> bits_p).astype(jnp.int32)

@@ -310,7 +310,7 @@ def segment_sum_pallas(
     gm_start: jnp.ndarray,
     *,
     chunk: int = 128,
-    owner_block: int = 128,
+    owner_block: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-owner segment sums of an owner-grouped value stream.
@@ -329,6 +329,12 @@ def segment_sum_pallas(
     instance range (disjoint by construction — no carries, no write
     hazards) and reduces chunks with a position-range one-hot (C, OB) MXU
     contraction built from the gm_start window alone.
+
+    owner_block=1024 (not 128): the per-grid-step fixed cost (automatic
+    output-block pipeline + DMA warm-up bubble) dominates at N/128 steps —
+    the one-hot just gets wider columns (MXU-cheap) while the chunk walk
+    total is unchanged, so fewer, fatter steps win. At 2M-capacity
+    training scale this is 16k -> 2k grid steps.
     """
     f, p = vals.shape
     n = gm_start.shape[0] - 1
