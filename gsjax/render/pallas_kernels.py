@@ -374,6 +374,219 @@ def segment_sum_pallas(
     )(lo, hi, vals)[0]
 
 
+def _rank_prefix_kernel(
+    # scalar prefetch
+    kb_ref,  # (NB+1,) int32: run-index range per output block
+    base_ref,  # (NB,) int32: prefix over all runs of earlier blocks
+    # inputs
+    start_hbm,  # (R_pad, 1) int32 ANY: sorted run starts
+    limbs_hbm,  # (4, R_pad) bf16 ANY: delta 8-bit limbs, LSB first
+    # outputs
+    out_hbm,  # (1, P_pad) int32 ANY
+    # scratch
+    start_vmem,  # (nbuf, chunk, 1)
+    limbs_vmem,  # (nbuf, 4, chunk)
+    sems,  # (nbuf, 2)
+    out_vmem,  # (2, 1, block)
+    out_sems,  # (2,)
+    *,
+    block: int,
+    chunk: int,
+    plus_iota: bool,
+):
+    c = pl.program_id(0)
+    last_c = pl.num_programs(0) - 1
+    k0 = kb_ref[c]
+    k1 = kb_ref[c + 1]
+    c0, n = _chunk_range(k0, k1, chunk)
+    nbuf = start_vmem.shape[0]
+
+    def get_dmas(slot, j):
+        return (
+            pltpu.make_async_copy(
+                start_hbm.at[pl.ds((c0 + j) * chunk, chunk), :],
+                start_vmem.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                limbs_hbm.at[:, pl.ds((c0 + j) * chunk, chunk)],
+                limbs_vmem.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    for k in range(nbuf - 1):
+        @pl.when(k < n)
+        def _(k=k):
+            for d in get_dmas(k, k):
+                d.start()
+
+    s_row = c * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    row_iota = lax.broadcasted_iota(jnp.int32, (chunk, block), 0)
+
+    def body(j, acc):
+        slot = j % nbuf
+
+        @pl.when(j + nbuf - 1 < n)
+        def _():
+            for d in get_dmas((j + nbuf - 1) % nbuf, j + nbuf - 1):
+                d.start()
+
+        for d in get_dmas(slot, j):
+            d.wait()
+        idx = (c0 + j) * chunk + row_iota  # (chunk, block) run index
+        start_v = start_vmem[slot]  # (chunk, 1)
+        # Run r contributes to slot s iff start_r <= s (runs of earlier
+        # blocks are folded into base; later runs can't have start <= s).
+        sel = jnp.where(
+            (idx >= k0) & (idx < k1) & (start_v <= s_row), 1.0, 0.0
+        ).astype(jnp.bfloat16)  # (chunk, block)
+        mm = jnp.dot(
+            limbs_vmem[slot], sel, preferred_element_type=jnp.float32
+        )  # (4, block); per-limb chunk sums < 128*255 — exact in f32
+        return acc + mm.astype(jnp.int32)
+
+    acc = lax.fori_loop(
+        0, n, body, jnp.zeros((4, block), jnp.int32)
+    )
+    out = (
+        acc[0:1]
+        + (acc[1:2] << 8)
+        + (acc[2:3] << 16)
+        + (acc[3:4] << 24)  # int32 wrap == uint32 wrap, bit-exact
+        + base_ref[c]
+    )
+    if plus_iota:
+        out = out + s_row
+
+    # Manual double-buffered output DMA (see the forward kernel's note on
+    # the automatic output pipeline's per-block cost).
+    slot = c % 2
+
+    def out_dma(slot, blk):
+        return pltpu.make_async_copy(
+            out_vmem.at[slot],
+            out_hbm.at[:, pl.ds(blk * block, block)],
+            out_sems.at[slot],
+        )
+
+    @pl.when(c >= 2)
+    def _():
+        out_dma(slot, c).wait()
+
+    out_vmem[slot] = out
+    out_dma(slot, c).start()
+
+    @pl.when(c == last_c)
+    def _():
+        out_dma(slot, c).wait()
+
+        @pl.when(c >= 1)
+        def _():
+            out_dma((c + 1) % 2, c).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("budget", "block", "chunk", "plus_iota", "init", "interpret"),
+)
+def rank_prefix_pallas(
+    start: jnp.ndarray,
+    delta: jnp.ndarray,
+    *,
+    budget: int,
+    block: int = 1024,
+    chunk: int = 128,
+    plus_iota: bool = False,
+    init: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[s] = init + (s if plus_iota) + sum_{r: start_r <= s} delta_r,
+    exact mod 2^32, for every s in [0, budget).
+
+    The TPU-native replacement for binning's scatter-add + running-cumsum
+    expansions: XLA lowers a 1-column scatter-add at ~10 ns per UPDATE
+    (5.3-5.5 ms each at bench scale — half the binning stage,
+    tools/probe_prims.py), but the run starts are already SORTED, so the
+    scattered cumsum is a rank computation: partition the output into
+    `block`-wide slabs, bucket runs to slabs with one small searchsorted
+    (budget/block boundaries), and reduce each slab's runs with a
+    (chunk, block) compare one-hot contracted on the MXU against the
+    delta's four 8-bit limbs — 0/1 and <256 integers are exact in bf16,
+    per-limb chunk sums stay < 2^24 (exact f32), and the int32 limb
+    recombination + block prefix wrap exactly like uint32 scatter+cumsum,
+    so the result is BIT-IDENTICAL to the XLA path (tests pin this).
+
+    Args:
+      start: (R,) int32 sorted ascending run starts; entries >= budget are
+        ignored (the XLA path's mode="drop").
+      delta: (R,) uint32/int32 per-run deltas (wraparound semantics).
+      budget: static output length.
+      plus_iota: add `s` to slot s (the packed expansion's slot offset).
+      init: static constant added to every slot (e.g. -1 turns the rank
+        into the boundary-mark owner index of `_expand`).
+
+    Returns: (budget,) uint32.
+    """
+    r = start.shape[0]
+    r_pad = -(-r // chunk) * chunk
+    nb = -(-budget // block)
+    p_pad = nb * block
+    start_p = jnp.concatenate(
+        [start.astype(jnp.int32), jnp.full((r_pad - r,), 2**31 - 1, jnp.int32)]
+    )
+    d32 = delta.astype(jnp.uint32)
+    limbs = jnp.stack(
+        [((d32 >> (8 * k)) & 255).astype(jnp.bfloat16) for k in range(4)],
+        axis=0,
+    )  # (4, R)
+    limbs = jnp.pad(limbs, ((0, 0), (0, r_pad - r)))
+    dcum = jnp.cumsum(d32)
+    kb = jnp.searchsorted(
+        start_p[:r],
+        jnp.arange(0, p_pad + 1, block, dtype=jnp.int32),
+        side="left",
+    ).astype(jnp.int32)
+    base = jnp.where(
+        kb[:-1] > 0,
+        lax.bitcast_convert_type(
+            jnp.take(dcum, jnp.maximum(kb[:-1] - 1, 0)), jnp.int32
+        ),
+        0,
+    ) + jnp.int32(init)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 1), jnp.int32),
+            pltpu.VMEM((2, 4, chunk), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 1, block), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _rank_prefix_kernel, block=block, chunk=chunk, plus_iota=plus_iota
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, p_pad), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(kb, base, start_p.reshape(r_pad, 1), limbs)[0]
+    return lax.bitcast_convert_type(out[0, :budget], jnp.uint32)
+
+
 def _bwd_kernel(
     # scalar prefetch
     tile_start_ref,

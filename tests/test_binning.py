@@ -244,3 +244,43 @@ def test_packed_paths_match_fallback(seed):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)), name
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rank_prefix_pallas_bit_exact(seed):
+    """The MXU rank-expansion kernel must be BIT-identical to the XLA
+    scatter-add + running-cumsum it replaces — including full-range uint32
+    wraparound, zero-length runs (equal starts), runs past the budget
+    (scatter mode="drop"), and non-multiple-of-block budgets."""
+    from gsjax.render.binning import _expand, _expand_packed
+    from gsjax.render.pallas_kernels import rank_prefix_pallas
+
+    rng = np.random.default_rng(seed)
+    r = int(rng.integers(3, 700))
+    budget = int(rng.integers(8, 5000))
+    counts = rng.integers(0, 5, r)
+    counts[rng.integers(0, r, r // 3)] = 0  # extra zero-length runs
+    start = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    vals = rng.integers(0, 2**32, r, dtype=np.uint64).astype(np.uint32)
+    u = vals - start.astype(np.uint32)
+    delta = (u - np.concatenate([[0], u[:-1]]).astype(np.uint32)).astype(
+        np.uint32
+    )
+    ref = np.asarray(_expand_packed(jnp.asarray(vals), jnp.asarray(start), budget))
+    got = np.asarray(
+        rank_prefix_pallas(
+            jnp.asarray(start), jnp.asarray(delta), budget=budget,
+            plus_iota=True, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(ref, got)
+
+    own_ref, _ = _expand(jnp.asarray(start), budget)
+    own = np.asarray(
+        rank_prefix_pallas(
+            jnp.asarray(start), jnp.ones(r, jnp.uint32), budget=budget,
+            init=-1, interpret=True,
+        )
+    ).astype(np.int64)
+    own[own > 2**31] -= 2**32
+    np.testing.assert_array_equal(np.asarray(own_ref), own)

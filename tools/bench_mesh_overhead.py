@@ -62,7 +62,7 @@ def warm_until_stable(run_once, state, max_calls=40):
         # Compare against the best seen BEFORE this call: a streak must
         # mean "no longer improving", so a new best (still warming) resets
         # it rather than counting toward it.
-        streak = streak + 1 if dt < 1.5 * best else 0
+        streak = streak + 1 if best <= dt < 1.5 * best else 0
         best = min(best, dt)
         if streak >= 3 and i >= 4:
             return state

@@ -18,6 +18,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import sys
+sys.path.insert(0, "/root/repo")
+
 from gsjax.utils.general import enable_compile_cache
 
 enable_compile_cache()
