@@ -379,12 +379,15 @@ def _rank_prefix_kernel(
     kb_ref,  # (NB+1,) int32: run-index range per output block
     base_ref,  # (NB,) int32: prefix over all runs of earlier blocks
     # inputs
-    start_hbm,  # (R_pad, 1) int32 ANY: sorted run starts
+    start_hbm,  # (1, R_pad) int32 ANY: sorted run starts (lane-major —
+    #            a (R_pad, 1) layout pads dim 1 to the 128-lane tile and
+    #            Mosaic rejects the width-1 slice; along lanes every
+    #            chunk-wide DMA slice is tile-aligned)
     limbs_hbm,  # (4, R_pad) bf16 ANY: delta 8-bit limbs, LSB first
     # outputs
     out_hbm,  # (1, P_pad) int32 ANY
     # scratch
-    start_vmem,  # (nbuf, chunk, 1)
+    start_vmem,  # (nbuf, 1, chunk)
     limbs_vmem,  # (nbuf, 4, chunk)
     sems,  # (nbuf, 2)
     out_vmem,  # (2, 1, block)
@@ -404,7 +407,7 @@ def _rank_prefix_kernel(
     def get_dmas(slot, j):
         return (
             pltpu.make_async_copy(
-                start_hbm.at[pl.ds((c0 + j) * chunk, chunk), :],
+                start_hbm.at[:, pl.ds((c0 + j) * chunk, chunk)],
                 start_vmem.at[slot],
                 sems.at[slot, 0],
             ),
@@ -422,7 +425,7 @@ def _rank_prefix_kernel(
                 d.start()
 
     s_row = c * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
-    row_iota = lax.broadcasted_iota(jnp.int32, (chunk, block), 0)
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(j, acc):
         slot = j % nbuf
@@ -434,12 +437,17 @@ def _rank_prefix_kernel(
 
         for d in get_dmas(slot, j):
             d.wait()
-        idx = (c0 + j) * chunk + row_iota  # (chunk, block) run index
-        start_v = start_vmem[slot]  # (chunk, 1)
+        idx = (c0 + j) * chunk + lane_iota  # (1, chunk) run index
+        start_v = start_vmem[slot]  # (1, chunk)
         # Run r contributes to slot s iff start_r <= s (runs of earlier
         # blocks are folded into base; later runs can't have start <= s).
+        # Out-of-range runs get a +inf start in LANE orientation so the
+        # only sublane<->lane relayout is this one (chunk, 1) transpose.
+        start_g = jnp.where(
+            (idx >= k0) & (idx < k1), start_v, jnp.int32(2**31 - 1)
+        )  # (1, chunk)
         sel = jnp.where(
-            (idx >= k0) & (idx < k1) & (start_v <= s_row), 1.0, 0.0
+            jnp.transpose(start_g) <= s_row, 1.0, 0.0
         ).astype(jnp.bfloat16)  # (chunk, block)
         mm = jnp.dot(
             limbs_vmem[slot], sel, preferred_element_type=jnp.float32
@@ -564,7 +572,7 @@ def rank_prefix_pallas(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, 1), jnp.int32),
+            pltpu.VMEM((2, 1, chunk), jnp.int32),
             pltpu.VMEM((2, 4, chunk), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((2, 1, block), jnp.int32),
@@ -583,7 +591,7 @@ def rank_prefix_pallas(
             has_side_effects=True,
         ),
         interpret=interpret,
-    )(kb, base, start_p.reshape(r_pad, 1), limbs)[0]
+    )(kb, base, start_p.reshape(1, r_pad), limbs)[0]
     return lax.bitcast_convert_type(out[0, :budget], jnp.uint32)
 
 
