@@ -51,6 +51,15 @@ ALPHA_CAP = 0.99
 ALPHA_SKIP = 1.0 / 255.0
 T_EPS = 1e-4
 
+# A/B switch for chunk_alpha's exponent evaluation: the (PIX, 36) x (36, K)
+# MXU quadratic-form (True) vs the ~9-pass elementwise VPU chain (False).
+# Measured on the r5 bench (1080p/500k, artifacts/tpu_queue_r5): the MXU
+# form is ~3 ms SLOWER per kernel (fwd 26.6 -> 29.6 ms) — the chunk walk is
+# bound by its carry-dependent serial chain, not by the power assembly's
+# VPU passes, so adding a matmul+staging to the chain only lengthens it.
+# Kept switchable for kernel ablations (tools/ablate_kernels).
+POWER_VIA_MXU = False
+
 
 def _hi_lo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """bf16 split recovering ~f32 accuracy through MXU contractions."""
@@ -134,33 +143,112 @@ def _weighted_color_sums(
     return m[:, :3] + m[:, 3:6], m[:, 6:7]
 
 
+def power_basis(
+    px: jnp.ndarray, py: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tile-constant pixel basis for the MXU power evaluation.
+
+    Returns ((PIX, 36) bf16, cx, cy): the degree-2 monomial columns
+    [1, x, y, x^2, xy, y^2] in tile-CENTERED coordinates, hi/lo split (the
+    split is exact for every supported tile width — see moment_basis) and
+    replicated three times to pair with the three bf16 coefficient limbs of
+    `chunk_alpha`'s RHS. The 36-wide contraction pads to one 128-deep MXU
+    pass either way, so the replication and the third limb are free.
+    Compute ONCE per tile: the basis is chunk-invariant.
+    """
+    cx = 0.5 * (jnp.max(px) + jnp.min(px))
+    cy = 0.5 * (jnp.max(py) + jnp.min(py))
+    pxc = px - cx  # (PIX, 1)
+    pyc = py - cy
+    b = jnp.concatenate(
+        [jnp.ones_like(pxc), pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc],
+        axis=1,
+    )  # (PIX, 6) f32
+    b_hi, b_lo = _hi_lo(b)
+    return (
+        jnp.concatenate([b_hi, b_hi, b_hi, b_lo, b_lo, b_lo], axis=1),
+        cx,
+        cy,
+    )
+
+
+def _power_coeffs(inst: jnp.ndarray, cx, cy) -> jnp.ndarray:
+    """(36, K) bf16 RHS of the power matmul: three bf16 limbs (~25 mantissa
+    bits) of the six per-instance quadratic coefficients, repeated for the
+    basis' hi and lo halves. Row-rate (1, K) arithmetic — the expansion of
+      power = -0.5 ca dx^2 - cb dx dy - 0.5 cc dy^2,  dx = (mx-cx) - x'
+    around the tile center, so coefficient magnitudes stay O(qmax) and the
+    limb truncation error in power is ~|power| * 2^-25."""
+    mx = inst[ROW_MX : ROW_MX + 1, :]
+    my = inst[ROW_MY : ROW_MY + 1, :]
+    ca = inst[ROW_CA : ROW_CA + 1, :]
+    cb = inst[ROW_CB : ROW_CB + 1, :]
+    cc = inst[ROW_CC : ROW_CC + 1, :]
+    u = mx - cx  # (1, K) centered mean
+    v = my - cy
+    coef = jnp.concatenate(
+        [
+            -0.5 * (ca * u * u + cc * v * v) - cb * u * v,
+            ca * u + cb * v,
+            cc * v + cb * u,
+            -0.5 * ca,
+            -cb,
+            -0.5 * cc,
+        ],
+        axis=0,
+    )  # (6, K) f32
+    l1 = coef.astype(jnp.bfloat16)
+    r1 = coef - l1.astype(jnp.float32)
+    l2 = r1.astype(jnp.bfloat16)
+    l3 = (r1 - l2.astype(jnp.float32)).astype(jnp.bfloat16)
+    limbs = jnp.concatenate([l1, l2, l3], axis=0)  # (18, K)
+    return jnp.concatenate([limbs, limbs], axis=0)  # (36, K)
+
+
 def chunk_alpha(
     inst: jnp.ndarray,
     px: jnp.ndarray,
     py: jnp.ndarray,
     lane_mask: jnp.ndarray,
+    pbasis: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per (pixel, instance) alpha for one chunk.
+
+    The quadratic exponent is evaluated as ONE (PIX, 36) x (36, K) MXU
+    contraction against the tile-centered monomial basis instead of ~9
+    (PIX, K) VPU passes (dx/dy/power assembly) — the compositing kernels
+    are VPU-bound at chunk rate, and the limb split keeps the result within
+    ~2^-25 relative of the f32 elementwise path.
 
     Args:
       inst: (ROWS, K) instance fields.
       px, py: (PIX, 1) pixel coordinates.
       lane_mask: (1, K) f32 0/1 — 0 for lanes outside this tile's range.
+      pbasis: optional precomputed power_basis(px, py) (hoist per tile).
 
     Returns:
       alpha: (PIX, K) capped, skip-masked alpha (straight-through cap grad).
       G: (PIX, K) the Gaussian falloff exp(power) (for opacity gradients).
       keep: (PIX, K) f32 0/1 skip mask (stop-gradient; includes lane_mask).
     """
-    mx = inst[ROW_MX : ROW_MX + 1, :]  # (1, K)
-    my = inst[ROW_MY : ROW_MY + 1, :]
-    ca = inst[ROW_CA : ROW_CA + 1, :]
-    cb = inst[ROW_CB : ROW_CB + 1, :]
-    cc = inst[ROW_CC : ROW_CC + 1, :]
     op = inst[ROW_OP : ROW_OP + 1, :]
-    dx = mx - px  # (PIX, K)
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    if POWER_VIA_MXU:
+        if pbasis is None:
+            pbasis = power_basis(px, py)
+        pb, cx, cy = pbasis
+        power = jnp.dot(
+            pb, _power_coeffs(inst, cx, cy),
+            preferred_element_type=jnp.float32,
+        )  # (PIX, K)
+    else:
+        mx = inst[ROW_MX : ROW_MX + 1, :]
+        my = inst[ROW_MY : ROW_MY + 1, :]
+        ca = inst[ROW_CA : ROW_CA + 1, :]
+        cb = inst[ROW_CB : ROW_CB + 1, :]
+        cc = inst[ROW_CC : ROW_CC + 1, :]
+        dx = mx - px  # (PIX, K)
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     G = jnp.exp(jnp.minimum(power, 0.0))
     raw = op * G
     # No AD ever passes through kernel math (composite is a custom_vjp and
@@ -179,6 +267,7 @@ def chunk_forward(
     done_in: jnp.ndarray,
     lane_mask: jnp.ndarray,
     fast: bool = False,
+    pbasis: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Composite one chunk of depth-ordered instances into a tile.
 
@@ -200,17 +289,23 @@ def chunk_forward(
       t_out: (PIX, 1), done_out: (PIX, 1), contrib: (PIX, 3) premultiplied
       color added by this chunk (background NOT composited here).
     """
-    alpha, _, _ = chunk_alpha(inst, px, py, lane_mask)
+    alpha, _, _ = chunk_alpha(inst, px, py, lane_mask, pbasis=pbasis)
     lg = jnp.log1p(-alpha)  # <= 0; alpha <= 0.99 keeps this finite
     cum_excl = _tri_cumsum(lg, exclusive=True, exact_input=fast)
-    t_before = t_in * jnp.exp(cum_excl)  # (PIX, K) unmasked T before k
+    e_excl = jnp.exp(cum_excl)  # (PIX, K) unmasked T decay before k
+    t_before = t_in * e_excl
     w_pre = alpha * t_before  # pre-mask contribution weights
-    # Termination test: the contribution that would push T below eps is
-    # itself skipped, and the pixel stays done forever. T after k is
-    # t_before*(1-alpha) = t_before - w_pre.
-    test = jnp.where((t_before - w_pre < T_EPS) & (alpha > 0.0), 1.0, 0.0)
+    # Termination: the contribution that would push T below eps is itself
+    # skipped, and the pixel stays done forever. T after k is
+    # t_in * exp(cum_incl_k) = t_in * F_k with F_k = e_excl_k * (1-alpha_k).
+    # F is NONINCREASING in k (each factor <= 1) and only decreases at
+    # alpha > 0 lanes, and the skipped-contribution rule keeps t_in >= eps
+    # for every non-done pixel — so "some j <= k fired" collapses to ONE
+    # compare against F_k, with no cumsum on the carry-dependent path
+    # (replaces a (K, K) MXU pass per chunk in both kernels).
+    f_incl = e_excl * (1.0 - alpha)
     skip = jnp.minimum(
-        done_in + _tri_cumsum(test, exclusive=False, exact_input=True), 1.0
+        done_in + jnp.where(t_in * f_incl < T_EPS, 1.0, 0.0), 1.0
     )
     live = 1.0 - skip  # (PIX, K)
     w = w_pre * live
@@ -257,6 +352,7 @@ def chunk_backward(
     d_color: jnp.ndarray,
     lane_mask: jnp.ndarray,
     basis: tuple[jnp.ndarray, ...],
+    pbasis: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Per-instance gradients for one chunk, via forward-order replay.
 
@@ -287,14 +383,18 @@ def chunk_backward(
       (t_out, done_out, suffix_out) replay state, and grads (ROWS, K) with
       rows [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop].
     """
-    alpha, G, keep = chunk_alpha(inst, px, py, lane_mask)
+    alpha, G, keep = chunk_alpha(inst, px, py, lane_mask, pbasis=pbasis)
     lg = jnp.log1p(-alpha)
     cum_excl = _tri_cumsum(lg, exclusive=True)
-    t_before = t_in * jnp.exp(cum_excl)
+    e_excl = jnp.exp(cum_excl)
+    t_before = t_in * e_excl
     w_pre = alpha * t_before
-    test = jnp.where((t_before - w_pre < T_EPS) & (alpha > 0.0), 1.0, 0.0)
+    # Monotone termination replay — identical formulation to chunk_forward
+    # (the suffix algebra requires the replayed skip decisions to match the
+    # forward's bit-for-bit).
+    f_incl = e_excl * (1.0 - alpha)
     skip = jnp.minimum(
-        done_in + _tri_cumsum(test, exclusive=False, exact_input=True), 1.0
+        done_in + jnp.where(t_in * f_incl < T_EPS, 1.0, 0.0), 1.0
     )
     live = 1.0 - skip
     w = w_pre * live  # (PIX, K)

@@ -38,6 +38,7 @@ from gsjax.render.common import (
     chunk_backward,
     chunk_forward,
     moment_basis,
+    power_basis,
     tile_pixel_coords,
 )
 
@@ -86,6 +87,7 @@ def _fwd_kernel(
     sub = pix // strips
     pxs = [px[s * sub:(s + 1) * sub] for s in range(strips)]
     pys = [py[s * sub:(s + 1) * sub] for s in range(strips)]
+    pbases = [power_basis(pxs[s], pys[s]) for s in range(strips)]
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(
@@ -130,7 +132,8 @@ def _fwd_kernel(
                 t_c, done_c, acc_c = op
                 inst = inst_vmem[slot]
                 t_out, done_out, contrib = chunk_forward(
-                    inst, pxs[s], pys[s], t_c, done_c, mask, fast=fast
+                    inst, pxs[s], pys[s], t_c, done_c, mask, fast=fast,
+                    pbasis=pbases[s],
                 )
                 return (
                     t_out, done_out, jnp.min(done_out) >= 0.5, acc_c + contrib
@@ -629,6 +632,7 @@ def _bwd_kernel(
     pxs = [px[s * sub:(s + 1) * sub] for s in range(strips)]
     pys = [py[s * sub:(s + 1) * sub] for s in range(strips)]
     bases = [moment_basis(pxs[s], pys[s]) for s in range(strips)]
+    pbases = [power_basis(pxs[s], pys[s]) for s in range(strips)]
 
     # carry_smem: [0] = chunk index held in the active carry slot (-1 none);
     #             [1] = flush counter. The carry block is double-buffered
@@ -716,7 +720,7 @@ def _bwd_kernel(
                 inst = inst_vmem[slot]
                 (t_out, done_out, suffix_out), g = chunk_backward(
                     inst, pxs[s], pys[s], t_c, done_c, suffix_c,
-                    d_colors_t[s], mask, bases[s],
+                    d_colors_t[s], mask, bases[s], pbasis=pbases[s],
                 )
                 return (
                     (t_out, done_out, suffix_out, jnp.min(done_out) >= 0.5),
