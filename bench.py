@@ -76,7 +76,7 @@ def _probe_backend_subprocess(timeout_s: float) -> tuple[bool, str]:
     return False, (r.stderr or r.stdout).strip()[-300:]
 
 
-def _init_backend_with_retry(attempts: int = 3, backoff_s: float = 60.0) -> str:
+def _init_backend_with_retry(attempts: int = 3, backoff_s: float = 150.0) -> str:
     """Initialize the JAX backend, retrying on transient TPU-tunnel failures
     (fast UNAVAILABLE raises AND hangs — see _probe_backend_subprocess).
     On final failure, emit a parseable JSON error line (not a bare

@@ -3,10 +3,15 @@
 Times each pipeline stage in isolation by dispatching ITERS independent
 copies and fencing with a D2H read of the last output (block_until_ready
 returns early on tunneled-TPU platforms). Working profiling tool, not a test.
+
+--ply <point_cloud.ply> profiles a TRAINED checkpoint instead of the random
+synthetic scene (same camera family as tools/bench_trained.py), with budgets
+auto-sized to the scene — for root-causing trained-vs-synthetic rate gaps.
 """
 
 from __future__ import annotations
 
+import argparse
 import time
 
 import jax
@@ -54,20 +59,56 @@ def timeit(name, fn, *args, fence=None):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ply", default=None,
+                    help="profile a trained checkpoint PLY instead of the "
+                         "random scene")
+    ap.add_argument("--orbit", type=float, default=0.6)
+    args = ap.parse_args()
+    global SH_DEGREE
     on_tpu = jax.default_backend() == "tpu"
-    params, aux = random_scene(
-        N, capacity=N, sh_degree=SH_DEGREE, seed=0, spread=2.5,
-        scale_range=(0.004, 0.03),
-    )
-    camera = look_at_origin_camera(width=WIDTH, height=HEIGHT)
-    cfg = RasterConfig(
-        tile_w=32, tile_h=32, max_instances=BUDGET, max_rows=ROW_BUDGET,
-        interpret=not on_tpu,
-    )
+    if args.ply:
+        from gsjax.data.ply import load_gaussian_ply
+        from gsjax.model import GaussianAux, pad_gaussian_params
+        from tools.bench_trained import _orbit_camera
+
+        data = load_gaussian_ply(args.ply)
+        n = data["xyz"].shape[0]
+        cap = max(1 << (n - 1).bit_length(), 1024)
+        params = pad_gaussian_params(capacity=cap, **data)
+        aux = GaussianAux.create(cap, n)
+        SH_DEGREE = int(round(np.sqrt(data["features_rest"].shape[1] + 1))) - 1
+        camera = _orbit_camera(args.orbit, WIDTH, HEIGHT)
+        from gsjax.config import pow2_budget
+        probe_cfg = RasterConfig(
+            tile_w=32, tile_h=32, max_instances=2 ** 22, max_rows=2 ** 22,
+            interpret=not on_tpu,
+        )
+        probe = jax.jit(lambda p: render(
+            p, camera, active_sh_degree=SH_DEGREE,
+            bg_color=jnp.zeros(3, jnp.float32), cfg=probe_cfg,
+            alive=aux.alive))(params)
+        mi = pow2_budget(int(probe.num_instances), 1.03)
+        mr = pow2_budget(int(probe.num_rows), 1.03)
+        print(f"trained ply: {n} gaussians cap {cap} SH {SH_DEGREE} "
+              f"pairs {int(probe.num_instances)} rows {int(probe.num_rows)} "
+              f"budgets {mi}/{mr}", flush=True)
+        cfg = RasterConfig(tile_w=32, tile_h=32, max_instances=mi,
+                           max_rows=mr, interpret=not on_tpu)
+    else:
+        params, aux = random_scene(
+            N, capacity=N, sh_degree=SH_DEGREE, seed=0, spread=2.5,
+            scale_range=(0.004, 0.03),
+        )
+        camera = look_at_origin_camera(width=WIDTH, height=HEIGHT)
+        cfg = RasterConfig(
+            tile_w=32, tile_h=32, max_instances=BUDGET, max_rows=ROW_BUDGET,
+            interpret=not on_tpu,
+        )
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
     alive = aux.alive
-    offset = jnp.zeros((N, 2), jnp.float32)
+    offset = jnp.zeros((params.capacity, 2), jnp.float32)
 
     def loss_fn(p, off):
         out = render(p, camera, active_sh_degree=SH_DEGREE, bg_color=bg,

@@ -132,34 +132,81 @@ def main() -> None:
         loss, (gp, _) = jax.value_and_grad(loss_fn, (0, 1))(p, off)
         return loss, jax.tree.map(lambda a, b: a - 0.0 * b, p, gp)
 
+    # fwd-only must CHAIN like fwd_bwd does (carry threads through the
+    # dispatch chain): round 4 timed it with an un-chained loop plus a
+    # per-iteration eager scalar add, whose host round trips inflated the
+    # number past fwd+bwd (the VERDICT r4 "fwd-only slower than fwd+bwd"
+    # anomaly). Here the loss feeds the NEXT call's offset input, so the
+    # device executes a strict chain with zero eager ops, exactly like the
+    # fwd_bwd loop.
     @jax.jit
     def fwd(p, off):
-        return loss_fn(p, off)
+        loss = loss_fn(p, off)
+        return loss, off + 0.0 * loss
+
+    # Viewer path: plain render, no loss — what the SIBR GUI frame costs
+    # (the configuration the reference's >=30 fps claim refers to).
+    def make_viewer(fast):
+        vcfg = RasterConfig(
+            tile_w=tw, tile_h=th, strips=args.strips, max_instances=mi,
+            max_rows=mr, interpret=not on_tpu, fast_fwd=fast,
+        )
+
+        @jax.jit
+        def frame(p, probe):
+            img = render(p, camera, active_sh_degree=sh_degree, bg_color=bg,
+                         cfg=vcfg, alive=aux.alive).image
+            # chain: feed one pixel back so iterations serialize
+            return img, probe + 0.0 * img[0, 0, 0]
+
+        return frame
 
     offset = jnp.zeros((cap, 2), jnp.float32)
     results = {"tile": args.tile, "strips": args.strips,
                "n_gaussians": n, "width": W, "height": H,
                "pairs": n_inst}
-    for name, fn in (("fwd_bwd", step), ("fwd_only", fwd)):
-        out = fn(params, offset)
-        carry = params
-        _ = np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[:1]))
-        t0 = time.perf_counter()
-        if name == "fwd_bwd":
-            for _ in range(args.iters):
-                loss, carry = fn(carry, offset)
-            _ = np.asarray(jax.device_get(loss.ravel()[:1]))
-        else:
-            loss = None
-            for _ in range(args.iters):
-                loss = fn(carry, offset) + (0.0 if loss is None else 0.0 * loss)
-            _ = np.asarray(jax.device_get(loss.ravel()[:1]))
-        ms = (time.perf_counter() - t0) / args.iters * 1000
+
+    def timed(name, launch, fps_note=False):
+        ms = launch()
         results[f"{name}_ms"] = round(ms, 2)
         results[f"{name}_px_per_s"] = round(W * H / (ms / 1000), 1)
+        note = f", {1000 / ms:.1f} fps" if fps_note else ""
         print(f"{name}: {ms:.2f} ms ({W * H / ms * 1000 / 1e6:.2f} M px/s"
-              f"{'' if name == 'fwd_bwd' else f', {1000 / ms:.1f} fps'})",
-              flush=True)
+              f"{note})", flush=True)
+
+    def run_fwd_bwd():
+        loss, carry = step(params, offset)
+        _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            loss, carry = step(carry, offset)
+        _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+        return (time.perf_counter() - t0) / args.iters * 1000
+
+    def run_fwd_only():
+        loss, off = fwd(params, offset)
+        _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            loss, off = fwd(params, off)
+        _ = np.asarray(jax.device_get(loss.ravel()[:1]))
+        return (time.perf_counter() - t0) / args.iters * 1000
+
+    def run_viewer(fast):
+        frame = make_viewer(fast)
+        probe = jnp.zeros((), jnp.float32)
+        img, probe = frame(params, probe)
+        _ = np.asarray(jax.device_get(probe.ravel()[:1]))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            img, probe = frame(params, probe)
+        _ = np.asarray(jax.device_get(probe.ravel()[:1]))
+        return (time.perf_counter() - t0) / args.iters * 1000
+
+    timed("fwd_bwd", run_fwd_bwd)
+    timed("fwd_only", run_fwd_only, fps_note=True)
+    timed("viewer_exact", lambda: run_viewer(False), fps_note=True)
+    timed("viewer_fast", lambda: run_viewer(True), fps_note=True)
     print(json.dumps(results))
 
 
