@@ -84,12 +84,40 @@ def main() -> None:
         )
         losses.append(float(metrics.loss))
 
+    # Scanned-window path across the process boundary (VERDICT r4 #4): the
+    # SAME two updates driven by ONE make_sharded_train_steps dispatch from
+    # a fresh identical state must reproduce the sequential losses — the
+    # scan's collectives (tile psum / data pmean / halo ppermute) all cross
+    # processes W times inside one executable.
+    from gsjax.parallel.step import make_sharded_train_steps
+
+    params2, aux2 = random_scene(200, capacity=256, sh_degree=SH_DEG, seed=3)
+    state2 = TrainState(
+        params=params2, opt=adam_init(params2), aux=aux2,
+        step=jnp.zeros((), jnp.int32),
+    )
+    steps = make_sharded_train_steps(
+        mesh, height=H, width=W, active_sh_degree=SH_DEG,
+        opt_cfg=opt_cfg, raster_cfg=cfg, spatial_lr_scale=1.0,
+    )
+    wlen = 2
+
+    def wstack(x):
+        return np.broadcast_to(x, (wlen,) + x.shape)
+
+    state2, wmetrics = steps(
+        state2, wstack(views), wstack(projs), wstack(centers), wstack(tanx),
+        wstack(tany), wstack(gts), np.broadcast_to(bg, (wlen, 3)),
+    )
+    window_losses = [float(v) for v in np.asarray(wmetrics.loss)]
+
     result = {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
         "global_devices": len(jax.devices()),
         "local_devices": len(jax.local_devices()),
         "losses": losses,
+        "window_losses": window_losses,
         "host_views": list(host_local_views(5)),
     }
     with open(out_path, "w") as f:

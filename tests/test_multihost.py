@@ -80,6 +80,14 @@ class TestMultiProcess:
         np.testing.assert_allclose(a["losses"], b["losses"], rtol=1e-6)
         assert a["losses"][1] < a["losses"][0]  # optimizer actually moved
 
+    def test_scanned_window_matches_sequential(self, worker_results):
+        """ONE make_sharded_train_steps dispatch (W=2 scan) across the
+        process boundary reproduces the two sequential sharded steps."""
+        a, b = worker_results
+        np.testing.assert_allclose(a["window_losses"], b["window_losses"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(a["window_losses"], a["losses"], rtol=1e-5)
+
     def test_matches_single_process(self, worker_results):
         """The distributed (2 proc x 2 dev) step == single-process 4-dev
         step: same mesh shape, same scene, same camera."""

@@ -127,6 +127,16 @@ def main() -> None:
             "width": W, "height": H, "n_gaussians": args.n,
             "results": results,
         }
+        if args.virtual or jax.default_backend() == "cpu":
+            # N virtual devices time-slice ONE CPU: these numbers validate
+            # that the sharded schedule runs, and nothing else. For a
+            # defensible multi-chip figure see tools/scaling_projection.py.
+            payload["evidence"] = (
+                "NONE — virtual devices share one processor; "
+                "functional-schedule check only, not a scaling measurement"
+            )
+            for r in results:
+                r.pop("efficiency_vs_1dev", None)
         print(json.dumps(payload))
         if args.out:
             with open(args.out, "w") as f:
