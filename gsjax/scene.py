@@ -162,6 +162,11 @@ class Scene:
             srng.shuffle(info.test_cameras)
 
         self.cameras_extent: float = info.nerf_normalization["radius"]
+        # NeRF++-norm scene center (the skysphere shell and the unbounded
+        # prune threshold are both anchored here).
+        self.scene_center = -np.asarray(
+            info.nerf_normalization["translate"], np.float32
+        )
         self.info = info
 
         self.train_banks: dict[float, list[CameraBank]] = {}
@@ -210,9 +215,7 @@ class Scene:
             if cfg.sky_gaussians > 0:
                 from gsjax.sky import add_sky_shell
 
-                center = -np.asarray(
-                    info.nerf_normalization["translate"], np.float32
-                )
+                center = self.scene_center
                 self.params, self.aux = add_sky_shell(
                     self.params,
                     self.aux,

@@ -81,11 +81,20 @@ def densify_and_prune(
     extent: float,
     max_screen_size: int,
     percent_dense: float,
+    unbounded_center: jnp.ndarray | None = None,
 ) -> tuple[GaussianParams, GaussianAux, AdamState, DensifyStats]:
     """One densify+prune pass; compacts alive Gaussians to the buffer front.
 
     max_screen_size: 0 disables the size-based prune criteria (the reference
     passes None before the first opacity reset, train.py:119).
+
+    unbounded_center: when set ([3] scene center; skysphere mode), the
+    world-size prune threshold scales with max(1, dist/extent) — a far
+    shell splat must be large in proportion to its distance to subtend the
+    same solid angle, and the flat 0.1*extent cut would delete the entire
+    sky shell at the first post-reset densify. None (the default, and
+    always when --sky_gaussians 0) keeps the reference's flat threshold
+    bit-exactly (reference: scene/gaussian_model.py:398-401).
     """
     cap = params.capacity
     alive = aux.alive
@@ -171,7 +180,13 @@ def densify_and_prune(
     if max_screen_size:
         # max_radii2D is zeroed by the postfix in the reference, so the
         # screen-size test there never fires; only the world-size test does.
-        prune = prune | (new_max_scale > 0.1 * extent)
+        ws_threshold = 0.1 * extent
+        if unbounded_center is not None:
+            dist = jnp.linalg.norm(
+                new_params.xyz - unbounded_center[None, :], axis=-1
+            )
+            ws_threshold = ws_threshold * jnp.maximum(1.0, dist / extent)
+        prune = prune | (new_max_scale > ws_threshold)
     prune = prune & new_alive
     n_pruned = jnp.sum(prune.astype(jnp.int32))
     new_alive = new_alive & ~prune

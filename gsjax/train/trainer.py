@@ -294,8 +294,11 @@ class Trainer:
         opt = self.opt_cfg
         cands = [opt.iterations]
         # SH schedule boundary: the bump applies to iteration k*1000 itself
-        # (reference: train.py:71-73), so windows must END at k*1000 - 1.
-        cands.append((it // 1000 + 1) * 1000 - 1)
+        # (reference: train.py:71-73), so windows must END at k*1000 - 1 —
+        # but only while the ramp is still running; once the degree is
+        # maxed the boundary would just fragment post-densify windows.
+        if self.active_sh_degree < self.state.params.max_sh_degree:
+            cands.append((it // 1000 + 1) * 1000 - 1)
         if it < opt.densify_until_iter:
             d = opt.densification_interval
             cands.append((it // d + 1) * d)
@@ -654,11 +657,17 @@ class Trainer:
             20 if iteration > opt.opacity_reset_interval else 0
         )  # reference: train.py:119
         self._key, sub = jax.random.split(self._key)
+        # Skysphere mode: distance-scaled world-size prune threshold so the
+        # far shell survives (see densify_and_prune's unbounded_center).
+        center = None
+        if getattr(self.model_cfg, "sky_gaussians", 0) > 0:
+            center = jnp.asarray(self.scene.scene_center, jnp.float32)
         params, aux, optst, stats = _densify_jit(
             self.state.params,
             self.state.aux,
             self.state.opt,
             sub,
+            unbounded_center=center,
             grad_threshold=opt.densify_grad_threshold,
             min_opacity=0.005,
             extent=float(self.scene.cameras_extent),

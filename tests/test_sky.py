@@ -59,3 +59,44 @@ def test_sky_visible_in_render():
     # The sky shell must paint sky color over most of the frame.
     assert img.mean() > 0.3
     assert np.isfinite(img).all()
+
+
+def test_unbounded_prune_threshold_spares_far_shell():
+    """The world-size prune (reference: scene/gaussian_model.py:398-401)
+    deletes every splat with max scale > 0.1*extent. In skysphere mode the
+    threshold scales with distance (densify_and_prune unbounded_center):
+    a correctly-sized far shell splat survives, an equally-big NEAR splat
+    is still pruned, and with unbounded_center=None the reference's flat
+    cut applies to both."""
+    import jax
+
+    from gsjax.train.densify import densify_and_prune
+    from gsjax.train.optimizer import adam_init
+
+    extent = 5.0
+    params, aux = random_scene(2, capacity=8, sh_degree=1, seed=0)
+    big = float(np.log(0.2 * extent))  # max scale 1.0 > 0.1*extent = 0.5
+    xyz = params.xyz.at[0].set(jnp.array([10 * extent, 0, 0]))  # far (sky)
+    xyz = xyz.at[1].set(jnp.array([0.1, 0, 0]))  # near
+    params = params.replace(
+        xyz=xyz,
+        scaling=params.scaling.at[:2].set(big),
+        opacity=params.opacity.at[:2].set(3.0),  # clearly above min_opacity
+    )
+    opt = adam_init(params)
+    kw = dict(
+        grad_threshold=1e9, min_opacity=0.005, extent=extent,
+        max_screen_size=20, percent_dense=0.01,
+    )
+    center = jnp.zeros(3, jnp.float32)
+
+    _, aux_ref, _, stats_ref = densify_and_prune(
+        params, aux, opt, jax.random.PRNGKey(0), **kw
+    )
+    assert int(stats_ref.n_alive) == 0  # flat cut kills both
+
+    _, aux_sky, _, stats_sky = densify_and_prune(
+        params, aux, opt, jax.random.PRNGKey(0),
+        unbounded_center=center, **kw
+    )
+    assert int(stats_sky.n_alive) == 1  # far shell survives, near pruned
