@@ -58,10 +58,14 @@ def lpips_weights_path() -> str | None:
     p = os.environ.get("GSJAX_LPIPS_WEIGHTS")
     if p and os.path.exists(p):
         return p
-    default = os.path.join(
-        os.path.dirname(__file__), "..", "weights", "lpips_vgg.npz"
-    )
-    return default if os.path.exists(default) else None
+    here = os.path.dirname(__file__)
+    for default in (
+        os.path.join(here, "weights", "lpips_vgg.npz"),
+        os.path.join(here, "..", "weights", "lpips_vgg.npz"),
+    ):
+        if os.path.exists(default):
+            return default
+    return None
 
 
 def lpips_available() -> bool:
@@ -132,3 +136,64 @@ def lpips(
         head = w[f"lin{i}.w"]  # [1, C, 1, 1]
         total = total + jnp.mean(jnp.sum(d * head, axis=1), axis=(1, 2))
     return total
+
+
+def expected_lpips_members() -> dict[str, tuple[int, ...]]:
+    """Key -> shape table of the LPIPS weights npz — the byte-level contract
+    of gsjax/weights/LPIPS_WEIGHTS_SPEC.md (all members little-endian f32)."""
+    shapes: dict[str, tuple[int, ...]] = {}
+    idx = 0
+    in_ch = 3
+    for out_ch, n_convs in _VGG_BLOCKS:
+        for _ in range(n_convs):
+            shapes[f"conv{idx}.w"] = (out_ch, in_ch, 3, 3)
+            shapes[f"conv{idx}.b"] = (out_ch,)
+            in_ch = out_ch
+            idx += 1
+    for i, (out_ch, _) in enumerate(_VGG_BLOCKS):
+        shapes[f"lin{i}.w"] = (1, out_ch, 1, 1)
+    return shapes
+
+
+def check_lpips_weights(path: str) -> str:
+    """Validate a dropped weights file against the spec; returns its sha256.
+
+    Raises ValueError with every violation listed (missing/extra keys, shape
+    or dtype mismatches, non-finite values)."""
+    import hashlib
+
+    z = np.load(path)
+    expected = expected_lpips_members()
+    errors = []
+    for k in sorted(set(expected) - set(z.files)):
+        errors.append(f"missing member {k}")
+    for k in sorted(set(z.files) - set(expected)):
+        errors.append(f"unexpected member {k}")
+    for k in sorted(set(expected) & set(z.files)):
+        a = z[k]
+        if tuple(a.shape) != expected[k]:
+            errors.append(f"{k}: shape {tuple(a.shape)} != {expected[k]}")
+        if a.dtype != np.float32:
+            errors.append(f"{k}: dtype {a.dtype} != float32")
+        elif not np.isfinite(a).all():
+            errors.append(f"{k}: contains non-finite values")
+    if errors:
+        raise ValueError(
+            f"{path} does not match LPIPS_WEIGHTS_SPEC.md:\n  "
+            + "\n  ".join(errors)
+        )
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check-weights", metavar="PATH",
+                    help="validate an LPIPS weights npz against the spec")
+    cli_args = ap.parse_args()
+    if cli_args.check_weights:
+        digest = check_lpips_weights(cli_args.check_weights)
+        print(f"OK: {cli_args.check_weights} matches LPIPS_WEIGHTS_SPEC.md")
+        print(f"sha256: {digest}")

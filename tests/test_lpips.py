@@ -177,3 +177,30 @@ def test_metrics_cli_reports_lpips_end_to_end(tmp_path, monkeypatch):
     with open(model / "per_view.json") as f:
         pv = json.load(f)
     assert len(pv["ours_7"]["LPIPS"]) == 2
+
+
+def test_check_weights_validates_spec(tmp_path):
+    """check_lpips_weights accepts a spec-conformant npz (and the twin
+    test weights ARE spec-conformant), rejects shape/dtype violations, and
+    returns the file's sha256 (gsjax/weights/LPIPS_WEIGHTS_SPEC.md)."""
+    import hashlib
+
+    from gsjax.image_metrics import check_lpips_weights
+
+    rng = np.random.default_rng(0)
+    weights = _random_weights(rng)
+    good = tmp_path / "good.npz"
+    np.savez(good, **weights)
+    digest = check_lpips_weights(str(good))
+    assert digest == hashlib.sha256(good.read_bytes()).hexdigest()
+
+    bad = dict(weights)
+    bad["conv0.w"] = bad["conv0.w"][:32]  # wrong shape
+    bad["lin0.w"] = bad["lin0.w"].astype(np.float64)  # wrong dtype
+    del bad["conv12.b"]  # missing member
+    bad_path = tmp_path / "bad.npz"
+    np.savez(bad_path, **bad)
+    with pytest.raises(ValueError) as e:
+        check_lpips_weights(str(bad_path))
+    msg = str(e.value)
+    assert "conv0.w" in msg and "lin0.w" in msg and "conv12.b" in msg
