@@ -190,6 +190,34 @@ def _variant_kernel(
             return (t_in, done_in, sfx, alldone,
                     acc + inst[0:1, 0:1] * 1e-20)
 
+        if variant == "fwd_nodep":
+            # chunk_forward with a CONSTANT carry (t_in=1, done=0 every
+            # chunk): iterations are data-independent (except the trivial
+            # acc add), so this is the walk's pure-throughput ceiling —
+            # the gap to fwd_nocond is the cost of the serial T chain.
+            inst = inst_vmem[slot]
+            mask = _lane_mask(c0, j, i0, i1, chunk)
+            ones = jnp.ones((pix, 1), jnp.float32)
+            zeros = jnp.zeros((pix, 1), jnp.float32)
+            t_out, done_out, contrib = chunk_forward(
+                inst, px, py, ones, zeros, mask
+            )
+            return (t_in, done_in, sfx, alldone,
+                    acc + contrib[0:1, :1] + t_out[0:1, :1] * 1e-20)
+
+        if variant == "fwd_nocond":
+            # chunk_forward with NO alldone lax.cond: tests whether the
+            # scalar-predicated branch blocks Mosaic's cross-iteration
+            # software pipelining (per-chunk cost stuck at the body's
+            # critical-path latency regardless of removed compute).
+            inst = inst_vmem[slot]
+            mask = _lane_mask(c0, j, i0, i1, chunk)
+            t_out, done_out, contrib = chunk_forward(
+                inst, px, py, t_in, done_in, mask
+            )
+            return (t_out, done_out, sfx, alldone,
+                    acc + contrib[0:1, :1])
+
         def compute(op):
             t_c, done_c, sfx_c, acc_c = op
             inst = inst_vmem[slot]

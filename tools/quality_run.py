@@ -97,7 +97,17 @@ def main() -> None:
         max_instances=args.max_instances, max_rows=args.max_rows,
     )
     tb = SummaryWriter(args.model_dir)
-    trainer = Trainer(
+
+    class DiagnosticTrainer(Trainer):
+        """Appends the live point count to every eval line so the artifact
+        carries the densification trajectory (VERDICT r4 #5: diagnose the
+        train/test gap against the point budget)."""
+
+        def _report_test(self, iteration, first_test=False):
+            super()._report_test(iteration, first_test)
+            print(f"\n[ITER {iteration}] total_points {self.n_alive()}")
+
+    trainer = DiagnosticTrainer(
         scene, model_cfg, opt_cfg, raster_cfg=raster_cfg, tb_writer=tb,
         adapt_budgets=True, start_checkpoint=resume_from,
     )
@@ -142,6 +152,10 @@ def main() -> None:
             checkpoint_iterations=tuple(
                 range(1000, args.iterations + 1, 1000)
             ),
+            # Post-densify (>15k) there are no %100 boundaries; full-epoch
+            # windows amortize the per-window tunnel sync (r4: ~0.84 s/it
+            # wall vs ~0.1 s/it device time).
+            max_window=256,
         )
     except (Exception, KeyboardInterrupt) as e:  # noqa: BLE001 — still write
         # the partial artifact; SIGINT on the exact PID is the sanctioned
@@ -167,6 +181,7 @@ def main() -> None:
     )
     os.makedirs(render_dir, exist_ok=True)
     final_views = []
+    renders = {}
     # An interrupt leaves the backend healthy — still score the final state.
     banks = [] if (crashed and not interrupted) else scene.get_test_banks()
     for b, bank in enumerate(banks):
@@ -180,13 +195,40 @@ def main() -> None:
                     "ssim": round(float(ssim_fn(img, gt)), 4),
                 }
             )
-            if len(final_views) <= 4:
-                pair = np.concatenate(
-                    [np.asarray(img), np.asarray(jnp.clip(gt, 0, 1))], axis=2
-                )  # render | gt side by side
-                Image.fromarray(
-                    np.round(pair.transpose(1, 2, 0) * 255).astype(np.uint8)
-                ).save(os.path.join(render_dir, f"test_{b}_{i}.png"))
+            renders[f"{b}_{i}"] = (np.asarray(img), np.asarray(jnp.clip(gt, 0, 1)))
+    # Dump the WORST four held-out views (side-by-side render|gt) — the
+    # diagnosis targets the views dragging the mean down, not the first four.
+    for fv in sorted(final_views, key=lambda v: v["psnr"])[:4]:
+        img, gt = renders[fv["view"]]
+        pair = np.concatenate([img, gt], axis=2)
+        Image.fromarray(
+            np.round(pair.transpose(1, 2, 0) * 255).astype(np.uint8)
+        ).save(os.path.join(
+            render_dir, f"worst_{fv['view']}_psnr{fv['psnr']:.1f}.png"
+        ))
+
+    # Floater / overdraw diagnostics from the final state (VERDICT r4 #5).
+    diag = None
+    if not (crashed and not interrupted):
+        p = trainer.state.params
+        alive = np.asarray(trainer.state.aux.alive)
+        xyz = np.asarray(p.xyz)[alive]
+        opac = np.asarray(p.get_opacity()).reshape(-1)[alive]
+        ext = float(scene.cameras_extent)
+        center = xyz.mean(axis=0)
+        r = np.linalg.norm(xyz - center, axis=-1)
+        diag = {
+            "cameras_extent": round(ext, 3),
+            "n_alive": int(alive.sum()),
+            "opacity_mean": round(float(opac.mean()), 4),
+            "opacity_frac_below_0.1": round(float((opac < 0.1).mean()), 4),
+            "radius_p50": round(float(np.percentile(r, 50)), 3),
+            "radius_p99": round(float(np.percentile(r, 99)), 3),
+            "frac_outside_extent": round(float((r > ext).mean()), 4),
+            "frac_outside_extent_opaque": round(
+                float(((r > ext) & (opac > 0.5)).mean()), 5
+            ),
+        }
 
     def _maybe(f):
         try:
@@ -208,6 +250,10 @@ def main() -> None:
     capacity_events = re.findall(
         r"\[ITER \d+\] growing capacity [^\n]+", log
     )
+    points_curve = [
+        {"iteration": int(m.group(1)), "points": int(m.group(2))}
+        for m in re.finditer(r"\[ITER (\d+)\] total_points (\d+)", log)
+    ]
     test_curve = [e for e in evals if e["split"] == "test"]
 
     result = {
@@ -231,6 +277,8 @@ def main() -> None:
         },
         "budget_events": budget_events,
         "capacity_events": capacity_events,
+        "points_curve": points_curve,
+        "final_state_diagnostics": diag,
         "test_psnr_curve": test_curve,
         "train_evals": [e for e in evals if e["split"] == "train"],
         "final_test_psnr": test_curve[-1]["psnr"] if test_curve else None,
