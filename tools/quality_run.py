@@ -133,6 +133,16 @@ def main() -> None:
     captured = io.StringIO()
     real_stdout = sys.stdout
     sys.stdout = Tee(real_stdout, captured)
+    # The measurement queue boxes this run with `timeout` (SIGTERM) and the
+    # round driver kills it at the wall — both must still produce the
+    # partial artifact, so route SIGTERM through the KeyboardInterrupt path
+    # (the sanctioned "stop now but keep the curve" exit).
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt("SIGTERM")
+
+    signal.signal(signal.SIGTERM, _term)
     t0 = time.perf_counter()
     crashed = None
     interrupted = False

@@ -148,27 +148,43 @@ def main() -> None:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+    # Queue timeouts send SIGTERM; still write whatever finished.
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt("SIGTERM")
+
+    signal.signal(signal.SIGTERM, _term)
+
     budgets = (args.max_instances, args.max_rows)
     results = {}
-    for tag, sky_n in (("sky_off", 0), ("sky_on", args.sky)):
-        print(f"=== {tag} ===", flush=True)
-        results[tag] = run_one(
-            args.scene_dir, f"/tmp/gsjax_sky_model_{tag}",
-            args.iterations, sky_n, budgets,
-        )
+    try:
+        # sky_on FIRST: it is the deliverable with no other evidence; the
+        # baseline can be cut by a timeout and rerun later.
+        for tag, sky_n in (("sky_on", args.sky), ("sky_off", 0)):
+            print(f"=== {tag} ===", flush=True)
+            results[tag] = run_one(
+                args.scene_dir, f"/tmp/gsjax_sky_model_{tag}",
+                args.iterations, sky_n, budgets,
+            )
+    except (Exception, KeyboardInterrupt) as e:  # noqa: BLE001
+        results["crashed"] = f"{type(e).__name__}: {e}"[:300]
 
-    results["delta_test_psnr"] = round(
-        results["sky_on"]["final_test_psnr"]
-        - results["sky_off"]["final_test_psnr"], 3
-    )
-    results["shell_survived_prune"] = (
-        results["sky_on"]["shell_at_end"]["n_far_shell"] > 0
-    )
+    if "sky_on" in results and "sky_off" in results:
+        results["delta_test_psnr"] = round(
+            results["sky_on"]["final_test_psnr"]
+            - results["sky_off"]["final_test_psnr"], 3
+        )
+    if "sky_on" in results:
+        results["shell_survived_prune"] = (
+            results["sky_on"]["shell_at_end"]["n_far_shell"] > 0
+        )
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({k: results[k] for k in
-                      ("delta_test_psnr", "shell_survived_prune")}))
+                      ("delta_test_psnr", "shell_survived_prune", "crashed")
+                      if k in results}))
     print(f"wrote {args.out}", flush=True)
 
 
