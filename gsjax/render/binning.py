@@ -37,6 +37,8 @@ through the separately-gathered float instance data (see composite.py).
 
 from __future__ import annotations
 
+import os
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -44,6 +46,16 @@ from jax import lax
 
 from gsjax.config import RasterConfig
 from gsjax.render.pallas_kernels import rank_prefix_pallas
+
+# Kill switch for the fused level-1 row engine (row_engine_pallas): a long
+# unattended TPU run must not die on a fresh kernel's Mosaic lowering, so
+# tools/engine_smoke.py compiles it on the real chip first and drops this
+# sentinel if the compile fails — binning then takes the proven
+# rank-kernel + gather path.
+ROW_ENGINE = not os.path.exists(
+    os.path.join(os.path.dirname(__file__), "..", "..",
+                 ".disable_row_engine")
+)
 
 
 @flax.struct.dataclass
@@ -360,6 +372,63 @@ def bin_gaussians(
 
     # --- level 1: gaussians -> (gaussian, tile-row) runs ---------------------
     auto = packed_paths is not False
+    # Static bit budgets decide the packed level-2 / fused-engine paths.
+    bits_tile = max((n_tiles - 1).bit_length(), 1)  # tile values < n_tiles
+    bits_g = max((n - 1).bit_length(), 1)  # owner values < n
+    bits_p = max((P - 1).bit_length(), 1)  # slot values < P
+    bits_tile_s = max(n_tiles.bit_length(), 1)  # sort key incl. sentinel
+    if auto and ROW_ENGINE and bits_g + bits_tile <= 32:
+        # Fused ROW ENGINE (row_engine_pallas): ONE sequential-grid kernel
+        # expands gaussians to rows, selects the 11 per-gaussian columns
+        # with an exact one-hot limb contraction (no (R, 10) gather),
+        # evaluates the interval closed forms on lanes, and emits the
+        # level-2 (istart, delta, dcum) stream directly — replacing the L1
+        # rank kernel + budget-rate gather + R-rate math + two R-rate
+        # cumsums (~10 ms of separate latency-bound dispatches at bench
+        # scale).
+        from gsjax.render.pallas_kernels import row_engine_pallas
+
+        table = jnp.stack(
+            [
+                rstart,
+                rcum,
+                y0,
+                x0,
+                x1,
+                _f2i(mp[:, 0]),
+                _f2i(mp[:, 1]),
+                _f2i(co[:, 0]),
+                _f2i(co[:, 1]),
+                _f2i(co[:, 2]),
+                _f2i(qm * CULL_QMAX_MARGIN + 1e-6),
+                jnp.arange(n, dtype=jnp.int32),
+                jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, jnp.int32),
+            ],
+            axis=0,
+        )  # (16, N)
+        istart_e, delta_e, u_e, total = row_engine_pallas(
+            table, rstart, total_rows,
+            budget=R, tiles_x=tiles_x, tile_w=cfg.tw, tile_h=cfg.th,
+            bits_tile=bits_tile, interpret=cfg.interpret,
+        )
+        p = jnp.arange(P, dtype=jnp.int32)
+        ivalid = p < jnp.minimum(total, P)
+        w = rank_prefix_pallas(
+            istart_e, delta_e, budget=P, plus_iota=True, dcum=u_e,
+            interpret=cfg.interpret,
+        )
+        g = (w >> bits_tile).astype(jnp.int32)
+        tile = (w & jnp.uint32((1 << bits_tile) - 1)).astype(jnp.int32)
+        tile = jnp.where(ivalid, tile, n_tiles)  # sentinel sorts last
+        g = jnp.where(ivalid, jnp.clip(g, 0, n - 1), n)
+        inst_of_row = jnp.concatenate([istart_e, total[None]])  # [R+1]
+        return _group_and_finish(
+            perm, g, tile, p, inst_of_row, rstart, rcum, total, total_rows,
+            n, n_tiles, P, R, bits_tile_s, bits_p, auto,
+        )
     if auto:
         # Sorted-run expansion on the MXU (see rank_prefix_pallas): the
         # XLA boundary-mark scatter costs ~10 ns/update — 5.4 ms at bench
@@ -416,48 +485,39 @@ def bin_gaussians(
     istart = icum - inst_counts
     total = icum[-1]
 
-    # --- level 2: rows -> instances ------------------------------------------
-    # Bit budgets for the packed paths (static — shapes are trace constants).
-    bits_tile = max((n_tiles - 1).bit_length(), 1)  # tile values < n_tiles
-    bits_g = max((n - 1).bit_length(), 1)  # owner values < n
-    bits_p = max((P - 1).bit_length(), 1)  # slot values < P
-    bits_tile_s = max(n_tiles.bit_length(), 1)  # sort key incl. sentinel
+    # --- level 2: rows -> instances (gather fallback: the packed/engine
+    # paths returned above) -----------------------------------------------
     p = jnp.arange(P, dtype=jnp.int32)
     ivalid = p < jnp.minimum(total, P)
-    if auto and bits_g + bits_tile <= 32:
-        # (owner, tile) ride ONE packed segmented-affine sequence: the slot
-        # offset k increments the LOW (tile) field only (tile_base + k <
-        # 2^bits_tile), so owner bits never see a carry. Replaces the
-        # (P, 3) budget-rate inst_table gather of the fallback below; the
-        # per-run-delta scatter + running cumsum of _expand_packed is
-        # evaluated by the MXU rank kernel (bit-identical — int32/uint32
-        # addition telescopes exactly through zero-length runs and wrap).
-        packed_w = (
-            rg.astype(jnp.uint32) << bits_tile
-        ) | tile_base.astype(jnp.uint32)
-        u = packed_w - istart.astype(jnp.uint32)
-        delta = u - jnp.concatenate([jnp.zeros(1, jnp.uint32), u[:-1]])
-        w = rank_prefix_pallas(
-            istart, delta, budget=P, plus_iota=True, interpret=cfg.interpret
-        )
-        g = (w >> bits_tile).astype(jnp.int32)
-        tile = (w & jnp.uint32((1 << bits_tile) - 1)).astype(jnp.int32)
-    else:
-        iowner, _ = _expand(istart, P)
-        ir = jnp.clip(iowner, 0, R - 1)
-        inst_table = jnp.stack([istart, tile_base, rg], axis=-1)  # (R, 3)
-        it = jnp.take(inst_table, ir, axis=0)  # (P, 3)
-        tile = it[:, 1] + (p - it[:, 0])
-        g = it[:, 2]
+    iowner, _ = _expand(istart, P)
+    ir = jnp.clip(iowner, 0, R - 1)
+    inst_table = jnp.stack([istart, tile_base, rg], axis=-1)  # (R, 3)
+    it = jnp.take(inst_table, ir, axis=0)  # (P, 3)
+    tile = it[:, 1] + (p - it[:, 0])
+    g = it[:, 2]
     tile = jnp.where(ivalid, tile, n_tiles)  # sentinel sorts last
     g = jnp.where(ivalid, jnp.clip(g, 0, n - 1), n)
+    inst_of_row = jnp.concatenate([istart, icum[-1:]])  # [R+1]
+    return _group_and_finish(
+        perm, g, tile, p, inst_of_row, rstart, rcum, total, total_rows,
+        n, n_tiles, P, R, bits_tile_s, bits_p, auto,
+    )
 
-    # --- group by tile: stable 1-key sort (depth order rides via owner; the
-    # pre-sort slot index rides too — the backward inverts it to regroup
-    # its gradient stream without a nine-f32-rider re-sort). When
-    # (tile, slot) fit one word, the slot rides the KEY's low bits — a
-    # single-array sort with identical order (ties break by slot =
-    # expansion order = stability) at a third of the 3-array cost.
+
+def _group_and_finish(
+    perm, g, tile, p, inst_of_row, rstart, rcum, total, total_rows,
+    n, n_tiles, P, R, bits_tile_s, bits_p, auto,
+) -> Binning:
+    """Group the expanded (owner, tile) stream by tile and build run
+    boundaries — the shared tail of both expansion paths.
+
+    Stable 1-key sort (depth order rides via owner; the pre-sort slot index
+    rides too — the backward inverts it to regroup its gradient stream
+    without a nine-f32-rider re-sort). When (tile, slot) fit one word, the
+    slot rides the KEY's low bits — a single-array sort with identical
+    order (ties break by slot = expansion order = stability) at a third of
+    the 3-array cost.
+    """
     if auto and bits_tile_s + bits_p <= 32:
         key = (tile.astype(jnp.uint32) << bits_p) | p.astype(jnp.uint32)
         skey, sorted_owner = lax.sort((key, g), num_keys=1, is_stable=False)
@@ -477,12 +537,11 @@ def bin_gaussians(
         ).astype(jnp.int32)
     sorted_owner = jnp.where(sorted_tile < n_tiles, sorted_owner, n)
 
-    # --- gaussian-major run boundaries for the backward ----------------------
-    # Arithmetic on the expansion cumsums: owner o's instances start at the
-    # instance offset of its first row (budget-clamped). A searchsorted over
-    # the instance stream would cost log(P) rounds of N-rate gathers.
+    # Gaussian-major run boundaries for the backward: arithmetic on the
+    # expansion cumsums — owner o's instances start at the instance offset
+    # of its first row (budget-clamped). A searchsorted over the instance
+    # stream would cost log(P) rounds of N-rate gathers.
     row_of_owner = jnp.minimum(jnp.concatenate([rstart, rcum[-1:]]), R)
-    inst_of_row = jnp.concatenate([istart, icum[-1:]])  # [R+1]
     gm_start = jnp.minimum(
         jnp.take(inst_of_row, row_of_owner), P
     ).astype(jnp.int32)

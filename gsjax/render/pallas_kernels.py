@@ -510,6 +510,7 @@ def rank_prefix_pallas(
     chunk: int = 128,
     plus_iota: bool = False,
     init: int = 0,
+    dcum: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out[s] = init + (s if plus_iota) + sum_{r: start_r <= s} delta_r,
@@ -552,7 +553,11 @@ def rank_prefix_pallas(
         axis=0,
     )  # (4, R)
     limbs = jnp.pad(limbs, ((0, 0), (0, r_pad - r)))
-    dcum = jnp.cumsum(d32)
+    if dcum is None:
+        dcum = jnp.cumsum(d32)  # R-rate; callers that already hold the
+        # telescoped stream (row_engine_pallas's u) pass it instead
+    else:
+        dcum = dcum.astype(jnp.uint32)
     kb = jnp.searchsorted(
         start_p[:r],
         jnp.arange(0, p_pad + 1, block, dtype=jnp.int32),
@@ -596,6 +601,331 @@ def rank_prefix_pallas(
         interpret=interpret,
     )(kb, base, start_p.reshape(1, r_pad), limbs)[0]
     return lax.bitcast_convert_type(out[0, :budget], jnp.uint32)
+
+
+def _row_engine_kernel(
+    # scalar prefetch
+    kb_ref,  # (NB+1,) int32: searchsorted-right of block boundaries into
+    #          rstart — block b's gaussians are [max(kb[b]-1, 0), kb[b+1])
+    lim_ref,  # (1,) int32: [min(total_rows, R)]
+    # inputs
+    table_hbm,  # (16, N_pad) int32 ANY: per-gaussian row table (see caller)
+    tri_ref,  # (1024, 1024) bf16: lower-triangular INCLUSIVE cumsum mask,
+    #           constant block (fetched once)
+    # outputs
+    out_hbm,  # (4, NB*1024) int32 ANY: [istart, delta, u, pad]
+    #          (4 sublanes: Mosaic rejects DMA slices not aligned to the
+    #          int32 tiling; 3 rows failed the alignment check)
+    tot_ref,  # (1, 128) int32: [num_instances, ...]
+    # scratch
+    tab_vmem,  # (nbuf, 16, chunk) int32
+    sems,
+    out_vmem,  # (2, 4, block) int32
+    out_sems,
+    carry_smem,  # (2,) int32: [running icum, previous row's u]
+    *,
+    block: int,
+    chunk: int,
+    tiles_x: int,
+    tile_w: int,
+    tile_h: int,
+    bits_tile: int,
+):
+    b = pl.program_id(0)
+    last_b = pl.num_programs(0) - 1
+    # Block b's first row may sit INSIDE a run: start from its owner
+    # (searchsorted-right minus one); the end bound kb[b+1] is the owner of
+    # the NEXT block's first row plus one, which safely includes any run
+    # straddling the boundary (ties at empty runs resolve to the true
+    # owner because run ranges partition [0, total_rows)).
+    g0 = jnp.maximum(kb_ref[b] - 1, 0)
+    g1 = kb_ref[b + 1]
+    c0, n = _chunk_range(g0, g1, chunk)
+    nbuf = tab_vmem.shape[0]
+    valid_rows = lim_ref[0]
+
+    @pl.when(b == 0)
+    def _():
+        carry_smem[0] = 0
+        carry_smem[1] = 0
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds((c0 + j) * chunk, chunk)],
+            tab_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    for k in range(nbuf - 1):
+        @pl.when(k < n)
+        def _(k=k):
+            get_dma(k, k).start()
+
+    j_row = b * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    # Selected table columns (value rows of the one-hot contraction):
+    # rstart, y0, x0, x1, mx, my, ca, cb, cc, qmax, g  (11 columns)
+    SEL = (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+    def body(j, acc):
+        slot = j % nbuf
+
+        @pl.when(j + nbuf - 1 < n)
+        def _():
+            get_dma((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
+
+        get_dma(slot, j).wait()
+        tab = tab_vmem[slot]  # (16, chunk) int32
+        gidx = (c0 + j) * chunk + lane_iota
+        # Ownership one-hot by POSITION RANGE: gaussian g owns rows
+        # [rstart_g, rend_g). Out-of-range chunk lanes get an empty range.
+        rs = jnp.where((gidx >= g0) & (gidx < g1), tab[0:1, :], 2**31 - 1)
+        re_ = jnp.where((gidx >= g0) & (gidx < g1), tab[1:2, :], 2**31 - 1)
+        sel = jnp.where(
+            (jnp.transpose(rs) <= j_row) & (j_row < jnp.transpose(re_)),
+            1.0, 0.0,
+        ).astype(jnp.bfloat16)  # (chunk, block)
+        # Each row has EXACTLY ONE owner, so the contraction SELECTS —
+        # per-limb sums are single 8-bit values, exact in f32 regardless
+        # of chunk width.
+        limbs = jnp.concatenate(
+            [
+                ((tab[r : r + 1, :] >> (8 * k)) & 255).astype(jnp.bfloat16)
+                for r in SEL
+                for k in range(4)
+            ],
+            axis=0,
+        )  # (44, chunk) bf16
+        mm = jnp.dot(limbs, sel, preferred_element_type=jnp.float32)
+        return acc + mm
+
+    acc = lax.fori_loop(0, n, body, jnp.zeros((44, block), jnp.float32))
+    cols = []
+    for i in range(11):
+        v = acc[4 * i : 4 * i + 1]
+        v1 = acc[4 * i + 1 : 4 * i + 2]
+        v2 = acc[4 * i + 2 : 4 * i + 3]
+        v3 = acc[4 * i + 3 : 4 * i + 4]
+        cols.append(
+            v.astype(jnp.int32)
+            + (v1.astype(jnp.int32) << 8)
+            + (v2.astype(jnp.int32) << 16)
+            + (v3.astype(jnp.int32) << 24)
+        )
+    rstart, y0, x0, x1, mxi, myi, cai, cbi, cci, qmi, g = cols
+
+    f32 = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    tsy = float(tile_h)
+    tsx = float(tile_w)
+    ty = y0 + (j_row - rstart)
+    mx = f32(mxi)
+    y0s = ty.astype(jnp.float32) * tsy - f32(myi)
+    y1s = y0s + (tsy - 1.0)
+    ca, cb, cc, qmax = f32(cai), f32(cbi), f32(cci), f32(qmi)
+    # _row_x_interval, inlined (same formulas, same order — the jnp path
+    # and this kernel must agree bit-for-bit in interpret mode; on TPU a
+    # last-ulp difference only moves an alpha<1/255 instance across a tile
+    # boundary, which the compositor's skip mask zeroes either way).
+    eps = 1e-12
+    safe_ca = jnp.maximum(ca, eps)
+    safe_cc = jnp.maximum(cc, eps)
+    det = jnp.maximum(ca * cc - cb * cb, eps)
+    y_span = jnp.sqrt(jnp.maximum(qmax * safe_ca / det, 0.0))
+    lo_y = jnp.maximum(y0s, -y_span)
+    hi_y = jnp.minimum(y1s, y_span)
+    nonempty = lo_y <= hi_y
+    x_star = jnp.sqrt(jnp.maximum(qmax * safe_cc / det, 0.0))
+    ys_hi = jnp.clip(-cb * x_star / safe_cc, lo_y, hi_y)
+    ys_lo = jnp.clip(cb * x_star / safe_cc, lo_y, hi_y)
+    disc_hi = qmax * safe_ca - det * ys_hi * ys_hi
+    disc_lo = qmax * safe_ca - det * ys_lo * ys_lo
+    x_hi = (-cb * ys_hi + jnp.sqrt(jnp.maximum(disc_hi, 0.0))) / safe_ca
+    x_lo = (-cb * ys_lo - jnp.sqrt(jnp.maximum(disc_lo, 0.0))) / safe_ca
+
+    rx0 = jnp.ceil((mx + x_lo - (tsx - 1.0)) / tsx).astype(jnp.int32)
+    rx1 = jnp.floor((mx + x_hi) / tsx).astype(jnp.int32) + 1
+    rx0 = jnp.maximum(rx0, x0)
+    rx1 = jnp.minimum(rx1, x1)
+    rvalid = j_row < valid_rows
+    counts = jnp.where(
+        rvalid & nonempty, jnp.maximum(rx1 - rx0, 0), 0
+    )  # (1, block)
+    tile_base = ty * tiles_x + rx0
+
+    # Block-local INCLUSIVE cumsum of counts on the MXU (counts <= tiles_x
+    # and block sums < 2^24: bf16 inputs, f32 accumulation, exact), plus
+    # the running carry from earlier blocks.
+    icum = jnp.dot(
+        counts.astype(jnp.bfloat16), tri_ref[...],
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32) + carry_smem[0]
+    istart = icum - counts
+
+    # Level-2 packed stream prep: u = ((g << bits_tile) | tile_base) -
+    # istart, delta = u - u_prev (uint32 wraparound; prev carried in SMEM).
+    packed_w = (g << bits_tile) | tile_base
+    u = lax.bitcast_convert_type(
+        packed_w.astype(jnp.uint32)
+        - lax.bitcast_convert_type(istart, jnp.uint32),
+        jnp.int32,
+    )
+    # Shift u right by one lane: roll then patch lane 0 with the carry.
+    u_prev = pltpu.roll(u, 1, 1)
+    u_prev = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (1, block), 1) == 0,
+        carry_smem[1],
+        u_prev,
+    )
+    delta = lax.bitcast_convert_type(
+        lax.bitcast_convert_type(u, jnp.uint32)
+        - lax.bitcast_convert_type(u_prev, jnp.uint32),
+        jnp.int32,
+    )
+    carry_smem[0] = icum[0, block - 1]
+    carry_smem[1] = u[0, block - 1]
+
+    # Manual double-buffered output DMA (see the forward kernel's note).
+    slot = b % 2
+
+    def out_dma(slot, blk):
+        return pltpu.make_async_copy(
+            out_vmem.at[slot],
+            out_hbm.at[:, pl.ds(blk * block, block)],
+            out_sems.at[slot],
+        )
+
+    @pl.when(b >= 2)
+    def _():
+        out_dma(slot, b).wait()
+
+    out_vmem[slot, 0:1, :] = istart
+    out_vmem[slot, 1:2, :] = delta
+    # u telescopes delta exactly (mod 2^32): it IS the cumsum-of-deltas the
+    # level-2 rank kernel's host prep would otherwise recompute at R rate.
+    out_vmem[slot, 2:3, :] = u
+    out_dma(slot, b).start()
+
+    @pl.when(b == last_b)
+    def _():
+        # Vector store: Mosaic rejects scalar stores to VMEM refs.
+        tot_ref[0:1, :] = jnp.full((1, 128), carry_smem[0], jnp.int32)
+        out_dma(slot, b).wait()
+
+        @pl.when(b >= 1)
+        def _():
+            out_dma((b + 1) % 2, b).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "budget", "block", "chunk", "tiles_x", "tile_w", "tile_h",
+        "bits_tile", "interpret",
+    ),
+)
+def row_engine_pallas(
+    table: jnp.ndarray,
+    rstart_1d: jnp.ndarray,
+    total_rows: jnp.ndarray,
+    *,
+    budget: int,
+    block: int = 1024,
+    chunk: int = 128,
+    tiles_x: int,
+    tile_w: int,
+    tile_h: int,
+    bits_tile: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused level-1 binning: expand gaussians to (gaussian, tile-row) runs
+    AND evaluate each row's exact tile x-interval in ONE sequential-grid
+    kernel, replacing four budget-rate XLA stages (the L1 rank kernel, the
+    (R, 10) row-table gather, the R-rate interval math, and the instance
+    cumsum — ~10 ms at bench scale, each latency-bound as a separate
+    primitive dispatch).
+
+    Per output row block the kernel walks its gaussians' CONTIGUOUS table
+    chunks (rows of gaussian g are [rstart_g, rend_g) — no gather), selects
+    all 11 needed columns with one (44, chunk) x (chunk, block) one-hot
+    limb contraction (each row has exactly ONE owner, so per-limb sums are
+    selections — bit-exact for arbitrary int32/f32-bitcast payloads), runs
+    the closed-form interval math on lanes, and threads the instance-count
+    cumsum and the level-2 packed-delta chain through SMEM across the
+    sequential grid.
+
+    Args:
+      table: (16, N) int32, rows [rstart, rend, y0, x0, x1, f2i(mx),
+        f2i(my), f2i(ca), f2i(cb), f2i(cc), f2i(qmax'), g, 0...].
+      rstart_1d: (N,) int32 sorted run starts (for the block bucketing).
+      total_rows: [] int32 true (unclamped) run count.
+      budget: static R (max_rows). Callers must also ensure the level-2
+        bit packing fits (bits_g + bits_tile <= 32) — the non-fitting case
+        takes the gather fallback, which this kernel does not serve.
+
+    Returns (istart [R], delta [R], u [R] int32, num_instances [] int32) —
+    u = cumsum(delta) mod 2^32 (rank_prefix_pallas's dcum, precomputed).
+    """
+    nb = -(-budget // block)
+    r_pad = nb * block
+    npad = -(-table.shape[1] // chunk) * chunk
+    table_p = jnp.pad(table, ((0, 0), (0, npad - table.shape[1])))
+    # Dead-pad gaussians: empty row ranges (rstart=rend=INT_MAX).
+    if npad > table.shape[1]:
+        pad_cols = jnp.arange(npad, dtype=jnp.int32) >= table.shape[1]
+        big = jnp.int32(2**31 - 1)
+        table_p = jnp.where(
+            pad_cols[None, :]
+            & (jnp.arange(16, dtype=jnp.int32) < 2)[:, None],
+            big,
+            table_p,
+        )
+    kb = jnp.searchsorted(
+        rstart_1d,
+        jnp.arange(0, r_pad + 1, block, dtype=jnp.int32),
+        side="right",
+    ).astype(jnp.int32)
+    lim = jnp.minimum(total_rows, budget).astype(jnp.int32).reshape(1)
+    rows = lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    tri = jnp.where(rows <= cols_i, 1.0, 0.0).astype(jnp.bfloat16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((block, block), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 128), lambda i, *_: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, 16, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, 4, block), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _row_engine_kernel, block=block, chunk=chunk, tiles_x=tiles_x,
+        tile_w=tile_w, tile_h=tile_h, bits_tile=bits_tile,
+    )
+    out, tot = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((4, r_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(kb, lim, table_p, tri)
+    return out[0, :budget], out[1, :budget], out[2, :budget], tot[0, 0]
 
 
 def _bwd_kernel(
