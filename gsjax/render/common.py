@@ -317,6 +317,42 @@ def chunk_forward(
     return t_out, done_out, contrib
 
 
+def chunk_forward_fast(
+    inst: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    lane_mask: jnp.ndarray,
+    pbasis: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Carry-independent fast-forward chunk math (inference only).
+
+    The exact path's per-pixel termination exists to reproduce the CUDA
+    `done` flag bit-for-bit; for DISPLAY output it is numerically
+    irrelevant — once T < 1e-4, the total remaining premultiplied color
+    telescopes to <= T itself (sum_k a_k prod_{j<k}(1-a_j) <= 1), i.e.
+    < 1e-4 < half an 8-bit step. Dropping it makes this entire function
+    independent of the transmittance carry:
+
+        contrib = t_in * contrib_nom      (per-pixel row scale)
+        t_out   = t_in * decay
+
+    so the heavy body (alpha chain + cumsum matmul + color contraction)
+    software-pipelines across chunks with only two narrow multiplies on
+    the serial path. Error vs the exact forward stays within the fast
+    path's existing bf16 budget (pinned < 4e-3 vs the oracle).
+
+    Returns (decay (PIX, 1), contrib_nom (PIX, 3)) — multiply both by the
+    caller's carried transmittance.
+    """
+    alpha, _, _ = chunk_alpha(inst, px, py, lane_mask, pbasis=pbasis)
+    lg = jnp.log1p(-alpha)
+    cum_excl = _tri_cumsum(lg, exclusive=True, exact_input=True)
+    w_nom = alpha * jnp.exp(cum_excl)  # weights for t_in == 1
+    c3 = inst[ROW_R : ROW_B + 1, :]
+    contrib_nom, lg_sum = _weighted_color_sums(w_nom, c3, lg, fast=True)
+    return jnp.exp(lg_sum), contrib_nom
+
+
 def moment_basis(px: jnp.ndarray, py: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     """Tile-centered pixel moment basis for the backward's MXU reductions.
 

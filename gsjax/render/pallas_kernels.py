@@ -35,8 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gsjax.render.common import (
     ROWS,
+    T_EPS,
     chunk_backward,
     chunk_forward,
+    chunk_forward_fast,
     moment_basis,
     power_basis,
     tile_pixel_coords,
@@ -128,16 +130,34 @@ def _fwd_kernel(
         for s in range(strips):
             t_in, done_in, alldone, acc = carry[s]
 
-            def compute(op, s=s):
-                t_c, done_c, acc_c = op
-                inst = inst_vmem[slot]
-                t_out, done_out, contrib = chunk_forward(
-                    inst, pxs[s], pys[s], t_c, done_c, mask, fast=fast,
-                    pbasis=pbases[s],
-                )
-                return (
-                    t_out, done_out, jnp.min(done_out) >= 0.5, acc_c + contrib
-                )
+            if fast:
+                # Inference-only: no termination replay — the chunk math is
+                # carry-INDEPENDENT (see chunk_forward_fast), leaving just
+                # two narrow multiplies on the serial path, and the
+                # all-saturated strip skip keys off T directly.
+                def compute(op, s=s):
+                    t_c, done_c, acc_c = op
+                    inst = inst_vmem[slot]
+                    decay, contrib_nom = chunk_forward_fast(
+                        inst, pxs[s], pys[s], mask, pbasis=pbases[s]
+                    )
+                    t_out = t_c * decay
+                    return (
+                        t_out, done_c, jnp.max(t_out) < T_EPS,
+                        acc_c + t_c * contrib_nom,
+                    )
+            else:
+                def compute(op, s=s):
+                    t_c, done_c, acc_c = op
+                    inst = inst_vmem[slot]
+                    t_out, done_out, contrib = chunk_forward(
+                        inst, pxs[s], pys[s], t_c, done_c, mask,
+                        pbasis=pbases[s],
+                    )
+                    return (
+                        t_out, done_out, jnp.min(done_out) >= 0.5,
+                        acc_c + contrib,
+                    )
 
             def skip(op):
                 t_c, done_c, acc_c = op

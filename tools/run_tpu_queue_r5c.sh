@@ -31,7 +31,13 @@ PLY=$(ls -d "$MODEL"/point_cloud/iteration_* 2>/dev/null | sort -V | tail -1)/po
 QTIMEOUT=2400 run stages_ply  profile_stages.py --ply "$PLY"
 # The r4 sweep's dead cell (VERDICT #8).
 QTIMEOUT=2400 run sweep_cell  tools/bench_sweep.py --configs 64x32c256s2 --out "$OUT/sweep_cell.json"
-# Final headline numbers with the shipping kernel + row engine.
+# Re-gate the row engine after the DMA-alignment fix (4-sublane output),
+# then take the final headline numbers with whatever state survives.
+rm -f /root/repo/.disable_row_engine
+QTIMEOUT=1200 TRIES=1 run engine_smoke2 tools/engine_smoke.py
+# Verify drive with the final kernel state (row engine + pipelined fast
+# path) — the last material change since the 13:30 verify pass.
+QTIMEOUT=2400 run verify3     tools/verify_drive.py
 QTIMEOUT=1500 run bench_final bench.py
 QTIMEOUT=1800 run fps_final   tools/bench_fps.py
 QTIMEOUT=1500 run stages_final profile_stages.py
