@@ -26,6 +26,13 @@ run() {
 # Root-cause artifacts for the r4 trained-scene anomaly (VERDICT #2):
 # corrected chained fwd-only + viewer-path fps, and the per-stage
 # breakdown on the trained checkpoint.
+# Export the NEWEST periodic checkpoint to PLY first (a wall-clock-boxed
+# quality run's latest state beats the last save_iterations PLY).
+CKPT=$(ls "$MODEL"/chkpnt*.npz 2>/dev/null | sort -V | tail -1)
+if [ -n "$CKPT" ]; then
+  JAX_PLATFORMS=cpu timeout 900 python tools/ckpt_to_ply.py "$CKPT" "$MODEL" \
+    > "$OUT/ckpt_to_ply.log" 2>&1 || true
+fi
 QTIMEOUT=2400 run trained     tools/bench_trained.py --model "$MODEL"
 PLY=$(ls -d "$MODEL"/point_cloud/iteration_* 2>/dev/null | sort -V | tail -1)/point_cloud.ply
 QTIMEOUT=2400 run stages_ply  profile_stages.py --ply "$PLY"
