@@ -156,11 +156,11 @@ def main() -> None:
                 sorted({i for i in (5000, 10_000) if i < args.iterations}
                        | {args.iterations})
             ),
-            # Every 1000 iters: wedge-recovery granularity (see auto-resume
-            # above). npz at ~2M capacity is ~1 GB/write but only seconds
-            # of host time, amortized over ~10 min of training each.
+            # Every 2000: a 2M-capacity checkpoint is ~2 GB over a
+            # 20 MB/s D2H link (~100 s) — 1000-step cadence alone cost
+            # ~0.1 s/it of the r4 wall.
             checkpoint_iterations=tuple(
-                range(1000, args.iterations + 1, 1000)
+                range(2000, args.iterations + 1, 2000)
             ),
             # Post-densify (>15k) there are no %100 boundaries; full-epoch
             # windows amortize the per-window tunnel sync (r4: ~0.84 s/it
