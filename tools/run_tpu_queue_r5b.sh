@@ -43,6 +43,14 @@ QTIMEOUT=1500 run gradreduce  tools/probe_gradreduce.py
 # (checkpointed auto-resume; a 20k+ curve is still an artifact).
 QTIMEOUT=10800 TRIES=2 run sky tools/sky_run.py
 
+# Gate the fresh row-engine kernel before the unattended run: on a Mosaic
+# failure the smoke drops .disable_row_engine and quality proceeds on the
+# proven path.
+QTIMEOUT=1200 TRIES=1 run engine_smoke tools/engine_smoke.py
+# Full verify drive again with the row engine in the graph (the /verify
+# recipe; material kernel change since the 11:07 pass).
+QTIMEOUT=2400 run verify2     tools/verify_drive.py
+
 # The long one: 30k default recipe; auto-resumes from periodic checkpoints
 # on a fresh attempt after a tunnel wedge.
 QTIMEOUT=28800 TRIES=3 run quality tools/quality_run.py --iterations 30000 \
