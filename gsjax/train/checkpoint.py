@@ -49,7 +49,19 @@ def save_checkpoint(
     arrays["meta.spatial_lr_scale"] = np.asarray(spatial_lr_scale)
     for k, v in (extra or {}).items():
         arrays[f"extra.{k}"] = np.asarray(v)
-    np.savez(path, **arrays)
+    # Write-then-rename: a SIGTERM mid-save (wall-clock-boxed runs are
+    # killed at the box) must never leave a truncated archive where the
+    # auto-resume scan will pick it up. os.replace is atomic on POSIX.
+    if not path.endswith(".npz"):
+        path = path + ".npz"  # np.savez appends it; keep tmp/final in sync
+    tmp = path + ".tmp.npz"
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def save_checkpoint_orbax(

@@ -58,3 +58,22 @@ def test_orbax_roundtrip(tmp_path):
     assert sh == 1 and lr == 2.0
     np.testing.assert_array_equal(extra["probe"], np.arange(4))
     _assert_state_equal(state, restored)
+
+
+def test_npz_save_is_atomic_and_overwrites(tmp_path):
+    """A save never leaves a partial archive at the final path (it goes
+    through tmp + os.replace — the r5 quality run lost 2000 iterations to a
+    SIGTERM mid-np.savez), and overwriting an existing checkpoint works."""
+    import os
+
+    state = _state()
+    path = str(tmp_path / "chk.npz")
+    save_checkpoint(path, state, active_sh_degree=2, spatial_lr_scale=3.5)
+    # Overwrite in place (periodic checkpoints reuse paths across resumes).
+    save_checkpoint(path, state, active_sh_degree=3, spatial_lr_scale=3.5)
+    _, sh, _ = load_checkpoint(path)
+    assert sh == 3
+    assert os.listdir(tmp_path) == ["chk.npz"]  # no tmp residue
+    # Extension-less path lands at .npz like np.savez would.
+    save_checkpoint(str(tmp_path / "bare"), state, 1, 1.0)
+    assert (tmp_path / "bare.npz").exists()

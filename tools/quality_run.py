@@ -83,7 +83,20 @@ def main() -> None:
         for f in os.listdir(args.model_dir)
         if (m := _re.fullmatch(r"chkpnt(\d+)\.npz", f))
     )
-    resume_from = ckpts[-1][1] if ckpts else None
+    import numpy as np
+
+    # Newest READABLE checkpoint: saves are atomic now, but a truncated
+    # archive from an older run (SIGTERM mid-np.savez) must not wedge every
+    # resume attempt — validate before committing to one.
+    resume_from = None
+    for _it, _path in reversed(ckpts):
+        try:
+            with np.load(_path) as _z:
+                _ = _z["params.features_rest"].shape
+            resume_from = _path
+            break
+        except Exception as e:  # truncated/corrupt: fall back to older
+            print(f"skipping unreadable checkpoint {_path}: {e}", flush=True)
     if resume_from:
         print(f"resuming from {resume_from}", flush=True)
     scene = Scene(model_cfg, capacity=args.capacity or 65_536)
