@@ -135,9 +135,16 @@ def main():
     pre_grad = jax.jit(jax.grad(pre_loss, argnums=(0, 1)))
     timeit("preprocess fwd+bwd", pre_grad, params, offset, fence=lambda o: o[1])
 
+    # Fence on the SCALAR output. All outputs of one XLA program complete
+    # together, so any fetch waits for the whole program — but fetching even
+    # one element of a large alternate-memory-resident array (sorted_owner)
+    # pays a ~14 ms D2H staging copy on the tunneled platform, which
+    # inflated the binning row ~2x through r4/r5 (true device makespan
+    # 15.1 ms/iter vs 30 reported; see tools/trace_step.py evidence in
+    # README round-5 notes).
     binf = jax.jit(lambda mp, d, e, c, q: bin_gaussians(mp, d, e, c, q, HEIGHT, WIDTH, cfg))
     binning = timeit("binning", binf, proj.mean_pix, proj.depth, proj.ext,
-                     proj.conic, proj.qmax, fence=lambda b: b.sorted_owner)
+                     proj.conic, proj.qmax, fence=lambda b: b.num_instances)
 
     from gsjax.render.composite import pack_fields
 
